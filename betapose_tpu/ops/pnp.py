@@ -1,0 +1,216 @@
+"""Batched Perspective-n-Point solver in pure JAX.
+
+TPU-native replacement for the reference's `cv2.solvePnP` (iterative LM,
+`utils/utils.py:17-41`): DLT initialization (SVD on the normalized-coordinate
+design matrix) followed by a fixed-iteration Levenberg-Marquardt refinement of
+the axis-angle + translation parameters against pixel-space reprojection
+error.  Everything is static-shaped and vmappable, so a whole eval batch of
+(50-keypoint, camera) problems solves as one fused XLA computation — no host
+round-trip per frame.
+
+Accuracy: with the ~50 well-spread designated keypoints the solution matches
+cv2.solvePnP to ~1e-6 in R and t (see tests/test_pnp.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def rodrigues(rvec: jnp.ndarray) -> jnp.ndarray:
+    """Axis-angle (3,) -> rotation matrix (3,3)."""
+    theta = jnp.linalg.norm(rvec)
+    # Guard the theta->0 limit: use the series-safe normalized axis.
+    safe = jnp.where(theta < 1e-12, 1.0, theta)
+    k = rvec / safe
+    kx, ky, kz = k[0], k[1], k[2]
+    zero = jnp.zeros(())
+    K = jnp.array([[zero, -kz, ky],
+                   [kz, zero, -kx],
+                   [-ky, kx, zero]])
+    s, c = jnp.sin(theta), jnp.cos(theta)
+    R = jnp.eye(3) + s * K + (1.0 - c) * (K @ K)
+    return jnp.where(theta < 1e-12, jnp.eye(3), R)
+
+
+def inverse_rodrigues(R: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix (3,3) -> axis-angle (3,)."""
+    cos_theta = jnp.clip((jnp.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    theta = jnp.arccos(cos_theta)
+    v = jnp.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    sin_theta = jnp.sin(theta)
+    # Generic case
+    axis = v / jnp.where(jnp.abs(sin_theta) < 1e-8, 1.0, 2.0 * sin_theta)
+    generic = axis * theta
+    # theta ~ pi: axis from diagonal of (R + I)/2
+    d = jnp.sqrt(jnp.clip((jnp.diag(R) + 1.0) / 2.0, 0.0, None))
+    # fix signs using off-diagonals
+    sx = jnp.where(v[0] < 0, -1.0, 1.0)
+    axis_pi = d * jnp.array([1.0,
+                             jnp.where(R[0, 1] < 0, -1.0, 1.0),
+                             jnp.where(R[0, 2] < 0, -1.0, 1.0)])
+    axis_pi = axis_pi / jnp.maximum(jnp.linalg.norm(axis_pi), 1e-12)
+    near_pi = jnp.abs(sin_theta) < 1e-6
+    near_zero = theta < 1e-8
+    out = jnp.where(near_pi, axis_pi * theta, generic)
+    return jnp.where(near_zero, jnp.zeros(3), out) * jnp.where(sx == 0, 1.0, 1.0)
+
+
+def _dlt_init(pts3d, pts2d_norm):
+    """DLT estimate of [R|t] from normalized image coordinates, with Hartley
+    normalization of both point sets so the design matrix stays
+    well-conditioned in float32 (the init must land in the global basin for
+    the LM refinement — an unnormalized f32 DLT is only good to ~1e-3, which
+    can fall into a nearby spurious PnP minimum).
+
+    pts3d: (N,3); pts2d_norm: (N,2) in K^-1 homogeneous coordinates.
+    Returns (R (3,3), t (3,)).
+    """
+    dtype = pts3d.dtype
+    n = pts3d.shape[0]
+
+    # Hartley normalization: 3D -> centroid 0, RMS radius sqrt(3)
+    c3 = jnp.mean(pts3d, axis=0)
+    p3 = pts3d - c3
+    s3 = jnp.sqrt(3.0) / jnp.maximum(
+        jnp.sqrt(jnp.mean(jnp.sum(p3 * p3, axis=1))), 1e-12)
+    p3 = p3 * s3
+    # 2D -> centroid 0, RMS radius sqrt(2)
+    c2 = jnp.mean(pts2d_norm, axis=0)
+    p2 = pts2d_norm - c2
+    s2 = jnp.sqrt(2.0) / jnp.maximum(
+        jnp.sqrt(jnp.mean(jnp.sum(p2 * p2, axis=1))), 1e-12)
+    p2 = p2 * s2
+
+    X = jnp.concatenate([p3, jnp.ones((n, 1), dtype)], axis=1)  # (N,4)
+    zeros = jnp.zeros_like(X)
+    u = p2[:, 0:1]
+    v = p2[:, 1:2]
+    rows_u = jnp.concatenate([X, zeros, -u * X], axis=1)   # (N,12)
+    rows_v = jnp.concatenate([zeros, X, -v * X], axis=1)   # (N,12)
+    A = jnp.concatenate([rows_u, rows_v], axis=0)          # (2N,12)
+    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
+    Pn = vt[-1].reshape(3, 4)
+
+    # Denormalize: x2 = inv(T2) x2n,  X3n = T3 X3  =>  P = inv(T2) Pn T3
+    T3 = jnp.array([[s3, 0, 0, -s3 * c3[0]],
+                    [0, s3, 0, -s3 * c3[1]],
+                    [0, 0, s3, -s3 * c3[2]],
+                    [0, 0, 0, 1]], dtype)
+    T2_inv = jnp.array([[1 / s2, 0, c2[0]],
+                        [0, 1 / s2, c2[1]],
+                        [0, 0, 1]], dtype)
+    P = T2_inv @ Pn @ T3
+
+    # Sign: points must be in front of the camera (positive depth).
+    centroid = jnp.mean(pts3d, axis=0)
+    depth = P[2, :3] @ centroid + P[2, 3]
+    P = P * jnp.where(depth < 0, -1.0, 1.0)
+    M = P[:, :3]
+    # Scale/orthogonalize so that R is a proper rotation.
+    U, S, Vt = jnp.linalg.svd(M)
+    scale = jnp.mean(S)
+    R = U @ Vt
+    det = jnp.linalg.det(R)
+    D = jnp.diag(jnp.array([1.0, 1.0, jnp.sign(det)], dtype))
+    R = U @ D @ Vt
+    t = P[:, 3] / scale
+    return R, t
+
+
+def _hat(v):
+    zero = jnp.zeros((), v.dtype)
+    return jnp.array([[zero, -v[2], v[1]],
+                      [v[2], zero, -v[0]],
+                      [-v[1], v[0], zero]])
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def solve_pnp(points_3d: jnp.ndarray, points_2d: jnp.ndarray,
+              cam_K: jnp.ndarray, iters: int = 20):
+    """Solve a single PnP problem. Returns (R (3,3), t (3,)).
+
+    points_3d: (N,3) model points; points_2d: (N,2) pixel observations;
+    cam_K: (3,3) intrinsics. No distortion (the reference passes zero
+    distCoeffs, `utils/utils.py:20`).
+
+    Refinement is Levenberg-Marquardt on normalized-coordinate residuals with
+    a multiplicative SO(3) update (left perturbation) and analytic Jacobians —
+    residuals and Jacobian entries are O(1), keeping the 6x6 normal equations
+    well-conditioned in float32 so the solver runs natively on TPU.
+    """
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    pts3d = points_3d.astype(dtype)
+    pts2d = points_2d.astype(dtype)
+    K = cam_K.astype(dtype)
+
+    # Normalized image coordinates.
+    xn = (pts2d[:, 0] - K[0, 2]) / K[0, 0]
+    yn = (pts2d[:, 1] - K[1, 2]) / K[1, 1]
+    obs = jnp.stack([xn, yn], axis=1)  # (N,2)
+
+    R0, t0 = _dlt_init(pts3d, obs)
+
+    def residual(R, t):
+        pc = pts3d @ R.T + t               # (N,3)
+        z = pc[:, 2:3]
+        proj = pc[:, :2] / z
+        return (proj - obs), pc
+
+    def lm_step(carry, _):
+        R, t, lam = carry
+        r, pc = residual(R, t)
+        X, Y, Z = pc[:, 0], pc[:, 1], pc[:, 2]
+        iz = 1.0 / Z
+        iz2 = iz * iz
+        # d(proj)/d(pc): (N,2,3)
+        zeros = jnp.zeros_like(iz)
+        dpi = jnp.stack([
+            jnp.stack([iz, zeros, -X * iz2], axis=1),
+            jnp.stack([zeros, iz, -Y * iz2], axis=1)], axis=1)
+        # Left perturbation exp(dw) applied to R only: pc(dw) = exp(dw) R p + t,
+        # so dpc/d(delta_omega) = -[R p]x = -[pc - t]x; dpc/d(delta_t) = I.
+        dpc_dw = -jax.vmap(_hat)(pc - t)                       # (N,3,3)
+        J_w = jnp.einsum("nij,njk->nik", dpi, dpc_dw)          # (N,2,3)
+        J_t = dpi                                              # (N,2,3)
+        J = jnp.concatenate([J_w, J_t], axis=2).reshape(-1, 6)  # (2N,6)
+        rv = r.reshape(-1)
+        # Damped least squares via QR on the augmented system — float32-safe
+        # (cond(J) instead of cond(J)^2 of the normal equations).
+        col_norm = jnp.sqrt(jnp.sum(J * J, axis=0))
+        damp = jnp.sqrt(lam) * jnp.diag(col_norm + 1e-12)
+        J_aug = jnp.concatenate([J, damp], axis=0)
+        r_aug = jnp.concatenate([rv, jnp.zeros(6, dtype)], axis=0)
+        Q, Rq = jnp.linalg.qr(J_aug)
+        step = jax.scipy.linalg.solve_triangular(Rq, Q.T @ r_aug)
+        dw, dt = -step[:3], -step[3:]
+        R_new = rodrigues(dw) @ R
+        t_new = t + dt
+        r_new, _ = residual(R_new, t_new)
+        improved = jnp.sum(r_new ** 2) < jnp.sum(rv ** 2)
+        R = jnp.where(improved, R_new, R)
+        t = jnp.where(improved, t_new, t)
+        lam = jnp.clip(jnp.where(improved, lam * 0.1, lam * 10.0),
+                       1e-14, 1e6)
+        return (R, t, lam), None
+
+    (R, t, _), _ = jax.lax.scan(
+        lm_step, (R0, t0, jnp.asarray(1e-6, dtype)), None, length=iters)
+    return R, t
+
+
+# Batched variant: (B,N,3),(B,N,2),(3,3) -> (B,3,3),(B,3)
+solve_pnp_batch = jax.jit(
+    jax.vmap(lambda p3, p2, K: solve_pnp(p3, p2, K), in_axes=(0, 0, None)))
+
+
+def pnp(points_3D: np.ndarray, points_2D: np.ndarray, cameraMatrix: np.ndarray):
+    """Drop-in replacement for reference `utils/utils.py:17` `pnp`:
+    returns (R (3,3) np.ndarray, t (3,1) np.ndarray)."""
+    R, t = solve_pnp(jnp.asarray(points_3D), jnp.asarray(points_2D[:, :2]),
+                     jnp.asarray(cameraMatrix))
+    return np.asarray(R), np.asarray(t).reshape(3, 1)

@@ -1,0 +1,119 @@
+"""PnP solver validation against cv2.solvePnP (the reference solver,
+utils/utils.py:17-41) and against ground truth on synthetic problems.
+
+Note on tolerances: LineMod objects span only a few degrees of FOV, so the
+reprojection objective has a well-known near-ambiguity (bas-relief twin pose
+~1e-3 apart in rotation with <0.05 px residual).  float32 solvers can land in
+either member of the pair, so comparisons are made in metric space (rotation
+angle, translation, ADD, reprojection RMS) at tolerances that are orders of
+magnitude below the benchmark thresholds (ADD < diameter/10 ~ 1 cm,
+2D-projection < 5 px), not entry-wise on R.
+"""
+
+import numpy as np
+import pytest
+
+from betapose_tpu.ops import pnp as pnp_mod
+from betapose_tpu.geometry import metrics
+
+cv2 = pytest.importorskip("cv2")
+
+CAM_K = np.array([[572.4114, 0.0, 325.2611],
+                  [0.0, 573.57043, 242.04899],
+                  [0.0, 0.0, 1.0]])
+
+
+def _make_problem(rng, n=50, noise=0.0):
+    pts3d = rng.standard_normal((n, 3)) * 0.05  # ~10cm object
+    q, _ = np.linalg.qr(rng.standard_normal((3, 3)))
+    if np.linalg.det(q) < 0:
+        q[:, 0] *= -1
+    R = q
+    t = np.array([rng.uniform(-0.1, 0.1), rng.uniform(-0.1, 0.1),
+                  rng.uniform(0.6, 1.2)])
+    pc = pts3d @ R.T + t
+    uv = (CAM_K @ pc.T).T
+    uv = uv[:, :2] / uv[:, 2:3]
+    uv = uv + rng.standard_normal(uv.shape) * noise
+    return pts3d, uv, R, t
+
+
+def _pose(R, t):
+    p = np.eye(4)
+    p[:3, :3] = np.asarray(R)
+    p[:3, 3] = np.asarray(t).ravel()
+    return p
+
+
+def _reproj_rms(R, t, pts3d, uv):
+    pc = pts3d @ np.asarray(R).T + np.asarray(t).ravel()
+    proj = (CAM_K @ pc.T).T
+    proj = proj[:, :2] / proj[:, 2:3]
+    return float(np.sqrt(np.mean(np.sum((proj - uv) ** 2, axis=1))))
+
+
+class TestPnP:
+    def test_exact_recovery(self):
+        rng = np.random.default_rng(0)
+        pts3d, uv, R, t = _make_problem(rng)
+        R_est, t_est = pnp_mod.pnp(pts3d, uv, CAM_K)
+        # pose-metric closeness (deg / mm), far under benchmark thresholds
+        assert metrics.rot_error(_pose(R, t), _pose(R_est, t_est)) < 0.5
+        assert np.linalg.norm(t_est[:, 0] - t) < 1e-3
+        # reprojection quality: sub-0.1px on a noiseless problem
+        assert _reproj_rms(R_est, t_est, pts3d, uv) < 0.1
+        # ADD between truth and estimate about a millimetre (10x under the
+        # ADD-0.1d benchmark threshold for a 10 cm object)
+        assert metrics.add_err(_pose(R, t), _pose(R_est, t_est), pts3d) < 1e-3
+
+    def test_matches_cv2_with_noise(self):
+        for seed in range(5):
+            pts3d, uv, _, _ = _make_problem(
+                np.random.default_rng(seed), noise=2.0)
+            _, rvec, tvec = cv2.solvePnP(
+                pts3d.astype(np.float64),
+                np.ascontiguousarray(uv[:, :2]).reshape(-1, 1, 2),
+                CAM_K, np.zeros((8, 1), dtype="float32"))
+            R_cv, _ = cv2.Rodrigues(rvec)
+            R_est, t_est = pnp_mod.pnp(pts3d, uv, CAM_K)
+            # Same basin as the reference solver, in metric space.
+            assert metrics.rot_error(
+                _pose(R_cv, tvec), _pose(R_est, t_est)) < 1.0
+            assert np.linalg.norm(t_est.ravel() - tvec.ravel()) < 2e-3
+            assert metrics.add_err(
+                _pose(R_cv, tvec), _pose(R_est, t_est), pts3d) < 1e-3
+            # Fit quality no worse than cv2's (2% slack + epsilon).
+            rms_cv = _reproj_rms(R_cv, tvec, pts3d, uv)
+            rms_est = _reproj_rms(R_est, t_est, pts3d, uv)
+            assert rms_est <= rms_cv * 1.02 + 1e-3
+
+    def test_batched(self):
+        import jax.numpy as jnp
+        problems = [_make_problem(np.random.default_rng(s)) for s in range(4)]
+        p3 = jnp.stack([jnp.asarray(p[0]) for p in problems])
+        p2 = jnp.stack([jnp.asarray(p[1]) for p in problems])
+        Rb, tb = pnp_mod.solve_pnp_batch(p3, p2, jnp.asarray(CAM_K))
+        for i, (pts3d, uv, R, t) in enumerate(problems):
+            assert metrics.rot_error(
+                _pose(R, t), _pose(np.asarray(Rb[i]), np.asarray(tb[i]))) < 0.5
+            assert np.linalg.norm(np.asarray(tb[i]) - t) < 1e-3
+            assert _reproj_rms(Rb[i], tb[i], pts3d, uv) < 0.1
+
+    def test_rodrigues_roundtrip(self):
+        import jax.numpy as jnp
+        rng = np.random.default_rng(7)
+        for _ in range(10):
+            rvec = rng.standard_normal(3)
+            R = pnp_mod.rodrigues(jnp.asarray(rvec))
+            back = pnp_mod.inverse_rodrigues(R)
+            R2 = pnp_mod.rodrigues(back)
+            np.testing.assert_allclose(np.asarray(R2), np.asarray(R), atol=1e-5)
+
+    def test_rodrigues_vs_cv2(self):
+        import jax.numpy as jnp
+        rng = np.random.default_rng(11)
+        for _ in range(5):
+            rvec = rng.standard_normal(3)
+            R_cv, _ = cv2.Rodrigues(rvec)
+            R = pnp_mod.rodrigues(jnp.asarray(rvec))
+            np.testing.assert_allclose(np.asarray(R), R_cv, atol=1e-6)
