@@ -38,26 +38,28 @@ def rodrigues(rvec: jnp.ndarray) -> jnp.ndarray:
 
 
 def inverse_rodrigues(R: jnp.ndarray) -> jnp.ndarray:
-    """Rotation matrix (3,3) -> axis-angle (3,)."""
-    cos_theta = jnp.clip((jnp.trace(R) - 1.0) / 2.0, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
+    """Rotation matrix (3,3) -> axis-angle (3,).
+
+    Uses atan2(|v|/2, (tr-1)/2) for the angle (well-conditioned everywhere
+    except theta ~ pi, which gets its own branch from the diagonal of R)."""
     v = jnp.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
-    sin_theta = jnp.sin(theta)
-    # Generic case
-    axis = v / jnp.where(jnp.abs(sin_theta) < 1e-8, 1.0, 2.0 * sin_theta)
+    vnorm = jnp.linalg.norm(v)
+    cos_theta = jnp.clip((jnp.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    theta = jnp.arctan2(vnorm / 2.0, cos_theta)
+    # Generic case: axis = v / |v|
+    axis = v / jnp.where(vnorm < 1e-8, 1.0, vnorm)
     generic = axis * theta
-    # theta ~ pi: axis from diagonal of (R + I)/2
+    # theta ~ pi: |v| -> 0, recover axis from diagonal of (R + I)/2 with
+    # signs fixed from off-diagonal products.
     d = jnp.sqrt(jnp.clip((jnp.diag(R) + 1.0) / 2.0, 0.0, None))
-    # fix signs using off-diagonals
-    sx = jnp.where(v[0] < 0, -1.0, 1.0)
     axis_pi = d * jnp.array([1.0,
                              jnp.where(R[0, 1] < 0, -1.0, 1.0),
                              jnp.where(R[0, 2] < 0, -1.0, 1.0)])
     axis_pi = axis_pi / jnp.maximum(jnp.linalg.norm(axis_pi), 1e-12)
-    near_pi = jnp.abs(sin_theta) < 1e-6
+    near_pi = vnorm < 1e-5
     near_zero = theta < 1e-8
     out = jnp.where(near_pi, axis_pi * theta, generic)
-    return jnp.where(near_zero, jnp.zeros(3), out) * jnp.where(sx == 0, 1.0, 1.0)
+    return jnp.where(near_zero, jnp.zeros(3), out)
 
 
 def _dlt_init(pts3d, pts2d_norm):
@@ -141,8 +143,16 @@ def solve_pnp(points_3d: jnp.ndarray, points_2d: jnp.ndarray,
     Refinement is Levenberg-Marquardt on normalized-coordinate residuals with
     a multiplicative SO(3) update (left perturbation) and analytic Jacobians —
     residuals and Jacobian entries are O(1), keeping the 6x6 normal equations
-    well-conditioned in float32 so the solver runs natively on TPU.
+    well-conditioned in float32 so the solver runs natively on TPU.  All
+    matmuls are pinned to float32 precision: the TPU MXU default (bfloat16
+    inputs) is far too coarse for geometry of this conditioning, and these
+    tiny matrices are nowhere near the FLOPs budget anyway.
     """
+    with jax.default_matmul_precision("float32"):
+        return _solve_pnp_impl(points_3d, points_2d, cam_K, iters)
+
+
+def _solve_pnp_impl(points_3d, points_2d, cam_K, iters):
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     pts3d = points_3d.astype(dtype)
     pts2d = points_2d.astype(dtype)

@@ -4,11 +4,18 @@ per SURVEY.md section 4's test-strategy mandate."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The machine profile exports JAX_PLATFORMS=axon (TPU tunnel); tests must be
+# hermetic and deterministic, so force CPU BOTH via env (for subprocesses)
+# and via jax.config (the axon plugin can win over the env var).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
