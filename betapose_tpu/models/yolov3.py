@@ -1,0 +1,377 @@
+"""YOLOv3 — TPU-native functional implementation built from a darknet .cfg.
+
+Design (vs reference `yolo/darknet.py` + darknet C engine):
+- Pure functional: `params` is a list-of-dicts pytree aligned with the cfg
+  layer list; `forward` is a Python loop over the *static* layer spec, so jit
+  unrolls it into one fused XLA graph (NHWC layout, bf16-friendly).
+- Only layer outputs actually referenced by route/shortcut blocks are cached
+  (static analysis at spec-build time) — keeps live memory minimal.
+- Detection decode matches `yolo/darknet.py:129-169` (DetectionLayer):
+  bx = sigma(tx)+cx, by = sigma(ty)+cy, bw = pw*exp(tw), bh = ph*exp(th),
+  all scaled by stride; obj/class sigmoid; rows ordered anchor-major then
+  row-major over the grid, heads concatenated in cfg order.
+- Weights IO speaks the darknet .weights byte format exactly — the
+  trainer<->runtime contract (reference `yolo/darknet.py:365-432`, writer
+  `train_YOLO/src/parser.c:962-1019`): int32 header x4 then float32 stream,
+  per conv layer [bn_bias, bn_scale, bn_mean, bn_var] or [conv_bias], then
+  conv weights in OIHW order.
+- BatchNorm can be folded into conv weights for inference (`fold_bn`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from betapose_tpu.models.darknet_cfg import parse_cfg
+
+
+@dataclasses.dataclass(frozen=True)
+class LayerSpec:
+    kind: str                   # conv | shortcut | route | upsample | maxpool | yolo
+    out_channels: int
+    # conv
+    size: int = 0
+    stride: int = 0
+    pad: int = 0
+    batch_normalize: bool = False
+    activation: str = "linear"
+    in_channels: int = 0
+    # shortcut / route
+    from_idx: int = -1          # absolute layer index (shortcut)
+    route_idxs: tuple = ()      # absolute layer indices (route)
+    # yolo
+    anchors: tuple = ()         # ((w,h),...) for this head (mask applied)
+    num_classes: int = 0
+    ignore_thresh: float = 0.7
+
+
+@dataclasses.dataclass(frozen=True)
+class NetworkSpec:
+    layers: tuple               # tuple[LayerSpec]
+    cache_idxs: frozenset       # layer outputs needed later
+    net_info: dict              # [net] block options (may be empty)
+
+    @property
+    def yolo_idxs(self):
+        return tuple(i for i, l in enumerate(self.layers) if l.kind == "yolo")
+
+
+def build_spec(cfg) -> NetworkSpec:
+    """cfg: path or cfg text. Returns the static network spec."""
+    blocks = parse_cfg(cfg)
+    net_info = {}
+    if blocks and blocks[0]["type"] == "net":
+        net_info = blocks[0]
+        blocks = blocks[1:]
+
+    layers = []
+    out_channels = [3]  # out_channels[i+1] = channels of layer i
+    needed = set()
+    for i, b in enumerate(blocks):
+        t = b["type"]
+        cin = out_channels[-1]
+        if t == "convolutional":
+            bn = int(b.get("batch_normalize", 0)) != 0
+            filters = int(b["filters"])
+            size = int(b["size"])
+            pad = (size - 1) // 2 if int(b.get("pad", 0)) else 0
+            layers.append(LayerSpec(
+                "conv", filters, size=size, stride=int(b["stride"]), pad=pad,
+                batch_normalize=bn, activation=b.get("activation", "linear"),
+                in_channels=cin))
+            out_channels.append(filters)
+        elif t == "shortcut":
+            frm = int(b["from"])
+            abs_from = i + frm if frm < 0 else frm
+            needed.add(abs_from)
+            needed.add(i - 1)
+            layers.append(LayerSpec("shortcut", cin, from_idx=abs_from))
+            out_channels.append(cin)
+        elif t == "route":
+            idxs = [int(x) for x in str(b["layers"]).split(",")]
+            abs_idxs = tuple(i + x if x < 0 else x for x in idxs)
+            for a in abs_idxs:
+                needed.add(a)
+            ch = sum(out_channels[a + 1] for a in abs_idxs)
+            layers.append(LayerSpec("route", ch, route_idxs=abs_idxs))
+            out_channels.append(ch)
+        elif t == "upsample":
+            layers.append(LayerSpec("upsample", cin, stride=int(b["stride"])))
+            out_channels.append(cin)
+        elif t == "maxpool":
+            layers.append(LayerSpec(
+                "maxpool", cin, size=int(b["size"]), stride=int(b["stride"])))
+            out_channels.append(cin)
+        elif t == "yolo":
+            mask = [int(x) for x in b["mask"].split(",")]
+            flat = [int(float(x)) for x in b["anchors"].replace(" ", "").split(",")]
+            all_anchors = [(flat[j], flat[j + 1]) for j in range(0, len(flat), 2)]
+            anchors = tuple(all_anchors[m] for m in mask)
+            needed.add(i - 1)  # reference keeps previous output (darknet.py:361)
+            layers.append(LayerSpec(
+                "yolo", cin, anchors=anchors,
+                num_classes=int(b["classes"]),
+                ignore_thresh=float(b.get("ignore_thresh", 0.7))))
+            out_channels.append(cin)
+        else:
+            raise ValueError(f"unsupported block type: {t}")
+    return NetworkSpec(tuple(layers), frozenset(needed), net_info)
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+def init_params(key, spec: NetworkSpec, dtype=jnp.float32):
+    """He-style init for convs; BN starts at identity."""
+    params = []
+    for l in spec.layers:
+        if l.kind != "conv":
+            params.append({})
+            continue
+        key, k1 = jax.random.split(key)
+        fan_in = l.in_channels * l.size * l.size
+        w = jax.random.normal(
+            k1, (l.size, l.size, l.in_channels, l.out_channels), dtype
+        ) * jnp.sqrt(2.0 / fan_in)
+        p = {"w": w}
+        if l.batch_normalize:
+            p["bn_scale"] = jnp.ones((l.out_channels,), dtype)
+            p["bn_bias"] = jnp.zeros((l.out_channels,), dtype)
+            p["bn_mean"] = jnp.zeros((l.out_channels,), dtype)
+            p["bn_var"] = jnp.ones((l.out_channels,), dtype)
+        else:
+            p["b"] = jnp.zeros((l.out_channels,), dtype)
+        params.append(p)
+    return params
+
+
+BN_EPS = 1e-5  # torch BatchNorm2d default, matches reference inference
+
+
+def fold_bn(spec: NetworkSpec, params):
+    """Fold batchnorm into conv weight/bias for inference speed."""
+    folded = []
+    for l, p in zip(spec.layers, params):
+        if l.kind != "conv" or not l.batch_normalize:
+            folded.append(dict(p))
+            continue
+        scale = p["bn_scale"] / jnp.sqrt(p["bn_var"] + BN_EPS)
+        w = p["w"] * scale[None, None, None, :]
+        b = p["bn_bias"] - p["bn_mean"] * scale
+        folded.append({"w": w, "b": b})
+    return folded
+
+
+# ---------------------------------------------------------------------------
+# darknet .weights IO
+# ---------------------------------------------------------------------------
+
+def load_darknet_weights(spec: NetworkSpec, path, dtype=jnp.float32):
+    """Read a darknet .weights file into the params pytree.
+
+    Byte layout per `yolo/darknet.py:365-432` / `parser.c:962-1019`:
+    4x int32 header [major, minor, revision, seen], then a float32 stream;
+    for each conv layer (in cfg order): if batch_normalize:
+    [bias(beta), scale(gamma), running_mean, running_var] each of len C_out,
+    else [conv_bias]; then conv weights, C_out*C_in*k*k floats in OIHW order.
+    """
+    with open(path, "rb") as f:
+        header = np.fromfile(f, dtype=np.int32, count=4)
+        stream = np.fromfile(f, dtype=np.float32)
+    params = []
+    ptr = 0
+
+    def take(n):
+        nonlocal ptr
+        out = stream[ptr:ptr + n]
+        if len(out) != n:
+            raise ValueError(f"weights file too short at offset {ptr}")
+        ptr += n
+        return out
+
+    for l in spec.layers:
+        if l.kind != "conv":
+            params.append({})
+            continue
+        c = l.out_channels
+        p = {}
+        if l.batch_normalize:
+            p["bn_bias"] = jnp.asarray(take(c), dtype)
+            p["bn_scale"] = jnp.asarray(take(c), dtype)
+            p["bn_mean"] = jnp.asarray(take(c), dtype)
+            p["bn_var"] = jnp.asarray(take(c), dtype)
+        else:
+            p["b"] = jnp.asarray(take(c), dtype)
+        n_w = c * l.in_channels * l.size * l.size
+        w_oihw = take(n_w).reshape(c, l.in_channels, l.size, l.size)
+        # OIHW -> HWIO
+        p["w"] = jnp.asarray(np.transpose(w_oihw, (2, 3, 1, 0)), dtype)
+        params.append(p)
+    return params, header
+
+
+def save_darknet_weights(spec: NetworkSpec, params, path, seen: int = 0):
+    """Write params in the exact darknet .weights layout (header then floats)."""
+    buf = io.BytesIO()
+    buf.write(np.array([0, 1, 0, seen], dtype=np.int32).tobytes())
+    for l, p in zip(spec.layers, params):
+        if l.kind != "conv":
+            continue
+        if l.batch_normalize:
+            for k in ("bn_bias", "bn_scale", "bn_mean", "bn_var"):
+                buf.write(np.ascontiguousarray(p[k], dtype=np.float32).tobytes())
+        else:
+            buf.write(np.ascontiguousarray(p["b"], dtype=np.float32).tobytes())
+        w_oihw = np.transpose(np.asarray(p["w"], dtype=np.float32),
+                              (3, 2, 0, 1))
+        buf.write(np.ascontiguousarray(w_oihw).tobytes())
+    with open(path, "wb") as f:
+        f.write(buf.getvalue())
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _conv_layer(l: LayerSpec, p, x, train=False):
+    w = p["w"].astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(l.stride, l.stride),
+        padding=((l.pad, l.pad), (l.pad, l.pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    if l.batch_normalize and "bn_scale" in p:
+        scale = p["bn_scale"] / jnp.sqrt(p["bn_var"] + BN_EPS)
+        y = y * scale + (p["bn_bias"] - p["bn_mean"] * scale)
+    elif "b" in p:
+        y = y + p["b"]
+    if l.activation == "leaky":
+        y = jnp.where(y > 0, y, 0.1 * y)
+    return y.astype(x.dtype)
+
+
+def _upsample_nearest(x, stride):
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :],
+                         (b, h, stride, w, stride, c))
+    return x.reshape(b, h * stride, w * stride, c)
+
+
+def _maxpool(x, size, stride):
+    if stride == 1:
+        pad_total = size - 1
+        pad = pad_total // 2
+        padding = ((pad, pad_total - pad), (pad, pad_total - pad))
+    else:
+        padding = ((0, 0), (0, 0))
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, size, size, 1),
+        (1, stride, stride, 1),
+        ((0, 0),) + padding + ((0, 0),))
+
+
+def decode_head(x_nhwc, anchors, num_classes, reso):
+    """Decode one yolo head's raw conv output to boxes.
+
+    x_nhwc: [B, gs, gs, nA*(5+nC)].  Returns [B, nA*gs*gs, 5+nC] with
+    (cx, cy, w, h) in input-resolution pixels, then sigmoid(obj),
+    sigmoid(class...).  Row order: anchor-major, then grid-row, grid-col —
+    identical to `yolo/darknet.py:157-169`.
+    """
+    b, gs, _, _ = x_nhwc.shape
+    na = len(anchors)
+    attrs = 5 + num_classes
+    stride = reso // gs
+    x = x_nhwc.reshape(b, gs, gs, na, attrs)
+    x = x.transpose(0, 3, 1, 2, 4)  # [B, nA, gs, gs, attrs]
+    x = x.astype(jnp.float32)
+
+    grid = jnp.arange(gs, dtype=jnp.float32)
+    cx = grid[None, None, None, :]       # broadcast over rows
+    cy = grid[None, None, :, None]
+    anchors_arr = jnp.asarray(anchors, jnp.float32) / stride  # (nA, 2)
+    aw = anchors_arr[:, 0][None, :, None, None]
+    ah = anchors_arr[:, 1][None, :, None, None]
+
+    bx = (jax.nn.sigmoid(x[..., 0]) + cx) * stride
+    by = (jax.nn.sigmoid(x[..., 1]) + cy) * stride
+    bw = jnp.exp(x[..., 2]) * aw * stride
+    bh = jnp.exp(x[..., 3]) * ah * stride
+    obj = jax.nn.sigmoid(x[..., 4])
+    cls = jax.nn.sigmoid(x[..., 5:])
+    out = jnp.concatenate(
+        [bx[..., None], by[..., None], bw[..., None], bh[..., None],
+         obj[..., None], cls], axis=-1)
+    return out.reshape(b, na * gs * gs, attrs)
+
+
+def forward(spec: NetworkSpec, params, x, reso: int, decode: bool = True):
+    """Run the network. x: [B, H, W, 3] (H == W == reso).
+
+    Returns decoded detections [B, nBoxes, 5+nC] if decode else the list of
+    raw yolo-head feature maps (for the training loss).
+    """
+    cache = {}
+    raw_heads = []
+    decoded = []
+    for i, l in enumerate(spec.layers):
+        p = params[i]
+        if l.kind == "conv":
+            x = _conv_layer(l, p, x)
+        elif l.kind == "shortcut":
+            x = cache[i - 1] + cache[l.from_idx]
+        elif l.kind == "route":
+            if len(l.route_idxs) == 1:
+                x = cache[l.route_idxs[0]]
+            else:
+                x = jnp.concatenate([cache[a] for a in l.route_idxs], axis=-1)
+        elif l.kind == "upsample":
+            x = _upsample_nearest(x, l.stride)
+        elif l.kind == "maxpool":
+            x = _maxpool(x, l.size, l.stride)
+        elif l.kind == "yolo":
+            raw_heads.append(x)
+            if decode:
+                decoded.append(
+                    decode_head(x, l.anchors, l.num_classes, reso))
+            x = cache[i - 1]  # pass-through, as reference darknet.py:363
+        if i in spec.cache_idxs:
+            cache[i] = x
+    if decode:
+        return jnp.concatenate(decoded, axis=1)
+    return raw_heads
+
+
+class YoloV3:
+    """Convenience wrapper bundling spec + params (mirrors the reference
+    `Darknet(cfg, reso)` object API, `yolo/darknet.py:319-363`)."""
+
+    def __init__(self, cfg, reso: int = 416, params=None, key=None,
+                 dtype=jnp.float32):
+        self.spec = build_spec(cfg)
+        self.reso = int(reso)
+        if params is not None:
+            self.params = params
+        else:
+            key = key if key is not None else jax.random.PRNGKey(0)
+            self.params = init_params(key, self.spec, dtype)
+
+    def load_weights(self, path):
+        self.params, self.header = load_darknet_weights(self.spec, path)
+        return self
+
+    def save_weights(self, path, seen: int = 0):
+        save_darknet_weights(self.spec, self.params, path, seen)
+
+    def fold(self):
+        self.params = fold_bn(self.spec, self.params)
+        return self
+
+    def __call__(self, x, decode=True):
+        return forward(self.spec, self.params, x, self.reso, decode=decode)

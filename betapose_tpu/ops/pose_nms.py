@@ -1,0 +1,161 @@
+"""Parametric pose NMS (pPose-NMS) + score-weighted pose merging.
+
+Faithful reimplementation of reference `pPose_nms.py:24-281` in numpy
+(host-side, used for the multi-candidate path, e.g. occlusion scenes) plus a
+jit-friendly single-candidate fast path used by the fused eval pipeline (the
+LineMod eval keeps exactly one best box per frame — `yolo/util.py:210-211` —
+so the NMS loop degenerates to the score filter + constant merge).
+
+Eval-path constants (`pPose_nms.py:12-20`; the canonical values per
+SURVEY.md 2.10):
+  delta1 = 1, mu = 1.7, delta2 = 2.65, gamma = 22.48,
+  scoreThreds = 0.3, matchThreds = 5, areaThres = 0, alpha = 0.1.
+Output keypoints carry the reference's -0.3 offset; proposal_score =
+mean(scores) + bbox_score + 1.25 * max(scores).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+DELTA1 = 1.0
+MU = 1.7
+DELTA2 = 2.65
+GAMMA = 22.48
+SCORE_THRESH = 0.3
+MATCH_THRESH = 5
+AREA_THRESH = 0.0
+ALPHA = 0.1
+KP_OFFSET = -0.3
+
+
+def _parametric_distance(pick, preds, scores, ref_dist):
+    """`get_parametric_distance` (`pPose_nms.py:244-268`)."""
+    pick_preds = preds[pick]            # [K,2]
+    pred_scores = scores[pick][:, 0]    # [K]
+    dist = np.sqrt(np.sum((pick_preds[None] - preds) ** 2, axis=2))  # [n,K]
+    mask = dist <= 1.0
+    kp_num = preds.shape[1]
+    score_dists = np.zeros((preds.shape[0], kp_num))
+    sc = scores[:, :, 0]                # [n,K]
+    ps = np.broadcast_to(pred_scores[None, :], sc.shape)
+    score_dists[mask] = (np.tanh(ps[mask] / DELTA1)
+                         * np.tanh(sc[mask] / DELTA1))
+    point_dist = np.exp(-dist / DELTA2)
+    return score_dists.sum(axis=1) + MU * point_dist.sum(axis=1)
+
+
+def _pck_match(pick_pred, preds, ref_dist):
+    """`PCK_match` (`pPose_nms.py:271-281`)."""
+    dist = np.sqrt(np.sum((pick_pred[None] - preds) ** 2, axis=2))
+    ref = min(ref_dist, 7)
+    return np.sum(dist / ref <= 1, axis=1)
+
+
+def _merge_fast(ref_pose, cluster_preds, cluster_scores, ref_dist):
+    """`p_merge_fast` (`pPose_nms.py:204-241`): score-weighted merge of all
+    cluster poses whose per-keypoint distance to the reference pose is within
+    min(ref_dist, 15)."""
+    dist = np.sqrt(np.sum((ref_pose[None] - cluster_preds) ** 2, axis=2))
+    ref = min(ref_dist, 15)
+    mask = dist <= ref                                   # [m,K]
+    masked_scores = cluster_scores * mask[..., None]     # [m,K,1]
+    denom = masked_scores.sum(axis=0)                    # [K,1]
+    denom = np.where(denom == 0, 1e-12, denom)
+    normed = masked_scores / denom
+    final_pose = (cluster_preds * normed).sum(axis=0)    # [K,2]
+    final_score = (masked_scores * normed).sum(axis=0)[:, 0]  # [K]
+    return final_pose, final_score
+
+
+def pose_nms(bboxes, bbox_scores, pose_preds, pose_scores):
+    """Parametric pose NMS (`pPose_nms.py:24-122`).
+
+    bboxes (n,4) xyxy; bbox_scores (n,); pose_preds (n,K,2);
+    pose_scores (n,K,1).  Returns a list of result dicts with keys
+    'bbox', 'keypoints', 'kp_score', 'proposal_score'."""
+    bboxes = np.asarray(bboxes, np.float64)
+    bbox_scores = np.asarray(bbox_scores, np.float64).reshape(-1)
+    pose_preds = np.asarray(pose_preds, np.float64)
+    pose_scores = np.asarray(pose_scores, np.float64)
+    if pose_scores.ndim == 2:
+        pose_scores = pose_scores[..., None]
+    pose_scores = pose_scores.copy()
+    pose_scores[pose_scores == 0] = 1e-5
+
+    n = bboxes.shape[0]
+    widths = bboxes[:, 2] - bboxes[:, 0]
+    heights = bboxes[:, 3] - bboxes[:, 1]
+    ref_dists = ALPHA * np.maximum(widths, heights)
+
+    ori_preds = pose_preds.copy()
+    ori_scores = pose_scores.copy()
+    ori_bbox_scores = bbox_scores.copy()
+
+    human_scores = pose_scores.mean(axis=1)[:, 0]
+    human_ids = np.arange(n)
+    preds, scores, bscores = pose_preds, pose_scores, bbox_scores
+
+    pick, merge_ids = [], []
+    while human_scores.shape[0] != 0:
+        pick_id = int(np.argmax(human_scores))
+        pick.append(human_ids[pick_id])
+        ref_dist = ref_dists[human_ids[pick_id]]
+        simi = _parametric_distance(pick_id, preds, scores, ref_dist)
+        n_match = _pck_match(preds[pick_id], preds, ref_dist)
+        delete_ids = np.arange(human_scores.shape[0])[
+            (simi > GAMMA) | (n_match >= MATCH_THRESH)]
+        if delete_ids.size == 0:
+            delete_ids = np.array([pick_id])
+        merge_ids.append(human_ids[delete_ids])
+        preds = np.delete(preds, delete_ids, axis=0)
+        scores = np.delete(scores, delete_ids, axis=0)
+        human_ids = np.delete(human_ids, delete_ids)
+        human_scores = np.delete(human_scores, delete_ids, axis=0)
+        bscores = np.delete(bscores, delete_ids, axis=0)
+
+    final_result = []
+    for j, p in enumerate(pick):
+        scores_pick = ori_scores[p]
+        if scores_pick[:, 0].max() < SCORE_THRESH:
+            continue
+        merge_id = merge_ids[j]
+        merge_pose, merge_score = _merge_fast(
+            ori_preds[p], ori_preds[merge_id], ori_scores[merge_id],
+            ref_dists[p])
+        max_score = merge_score.max()
+        if max_score < SCORE_THRESH:
+            continue
+        xmax, xmin = merge_pose[:, 0].max(), merge_pose[:, 0].min()
+        ymax, ymin = merge_pose[:, 1].max(), merge_pose[:, 1].min()
+        if 1.5 ** 2 * (xmax - xmin) * (ymax - ymin) < AREA_THRESH:
+            continue
+        final_result.append({
+            # reference appends bboxes[0] (sic — first box, pPose_nms.py:115)
+            "bbox": bboxes[0],
+            "keypoints": merge_pose + KP_OFFSET,
+            "kp_score": merge_score[:, None],
+            "proposal_score": float(
+                merge_score.mean() + ori_bbox_scores[p]
+                + 1.25 * merge_score.max()),
+        })
+    return final_result
+
+
+def pose_nms_single(bbox, bbox_score, pose_pred, pose_score):
+    """Single-candidate fast path (n == 1), jit/numpy agnostic.
+
+    With one candidate, NMS picks it, the merge cluster is itself, the merge
+    mask is all-true (distance 0), so merged pose == pose and merged score ==
+    score.  Returns (keypoints [K,2], kp_score [K], proposal_score, valid).
+    Everything is computed unconditionally; `valid` carries the
+    scoreThreds/area filters so the caller can mask.
+    """
+    import jax.numpy as jnp
+    score = jnp.where(pose_score == 0, 1e-5, pose_score)
+    score = score.reshape(-1)
+    keypoints = pose_pred + KP_OFFSET
+    max_score = jnp.max(score)
+    valid = max_score >= SCORE_THRESH
+    proposal = jnp.mean(score) + bbox_score + 1.25 * max_score
+    return keypoints, score, proposal, valid

@@ -1,0 +1,197 @@
+"""Heatmap decode, gaussian target rendering, best-box selection, pose-NMS."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from betapose_tpu.ops import heatmap as hm_ops
+from betapose_tpu.ops import boxes as box_ops
+from betapose_tpu.ops import pose_nms as pnms
+
+
+def _reference_get_prediction(hms, res_h, res_w):
+    """Numpy transcription of getPrediction's peak+refine loop
+    (KPD/src/utils/eval.py:113-141), heatmap-coords part only."""
+    n, k, h, w = hms.shape
+    preds = np.zeros((n, k, 2), np.float32)
+    maxval = np.zeros((n, k), np.float32)
+    for i in range(n):
+        for j in range(k):
+            flat = hms[i, j].reshape(-1)
+            idx = int(np.argmax(flat))
+            maxval[i, j] = flat[idx]
+            x, y = idx % w, idx // w
+            px, py = float(x), float(y)
+            if maxval[i, j] <= 0:
+                px, py = 0.0, 0.0
+            pX, pY = int(round(px)), int(round(py))
+            dx = dy = 0.0
+            if 0 < pX < w - 1 and 0 < pY < h - 1:
+                dx = np.sign(hms[i, j, pY, pX + 1] - hms[i, j, pY, pX - 1]) * 0.25
+                dy = np.sign(hms[i, j, pY + 1, pX] - hms[i, j, pY - 1, pX]) * 0.25
+            preds[i, j] = [px + dx + 0.2, py + dy + 0.2]
+    return preds, maxval
+
+
+class TestHeatmapDecode:
+    def test_matches_reference_loop(self):
+        rng = np.random.default_rng(0)
+        hms = rng.standard_normal((3, 5, 80, 64)).astype(np.float32)
+        pt1 = jnp.zeros((3, 2))
+        pt2 = jnp.asarray(np.tile([256.0, 320.0], (3, 1)))
+        preds, preds_img, maxval = hm_ops.decode_heatmaps(
+            jnp.asarray(hms), pt1, pt2, 320, 256, 80, 64)
+        golden, gold_max = _reference_get_prediction(hms, 80, 64)
+        np.testing.assert_allclose(np.asarray(preds), golden, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(maxval)[..., 0], gold_max,
+                                   rtol=1e-6)
+
+    def test_peak_at_border_not_refined(self):
+        hms = np.zeros((1, 1, 8, 8), np.float32)
+        hms[0, 0, 0, 0] = 1.0  # corner peak: no refinement
+        preds, _, _ = hm_ops.decode_heatmaps(
+            jnp.asarray(hms), jnp.zeros((1, 2)),
+            jnp.asarray([[64.0, 80.0]]), 320, 256, 8, 8)
+        np.testing.assert_allclose(np.asarray(preds)[0, 0], [0.2, 0.2],
+                                   atol=1e-6)
+
+
+def _reference_draw_gaussian(pt, res_h, res_w, sigma):
+    """Numpy transcription of drawGaussian (KPD/src/utils/img.py:82-111)."""
+    img = np.zeros((res_h, res_w), np.float32)
+    tmp_size = 3 * sigma
+    ul = [int(pt[0] - tmp_size), int(pt[1] - tmp_size)]
+    br = [int(pt[0] + tmp_size + 1), int(pt[1] + tmp_size + 1)]
+    if ul[0] >= res_w or ul[1] >= res_h or br[0] < 0 or br[1] < 0:
+        return img
+    size = 2 * tmp_size + 1
+    x = np.arange(0, size, 1, float)
+    y = x[:, np.newaxis]
+    x0 = y0 = size // 2
+    s = size / 4.0
+    g = np.exp(-((x - x0) ** 2 + (y - y0) ** 2) / (2 * s ** 2))
+    g_x = max(0, -ul[0]), min(br[0], res_w) - ul[0]
+    g_y = max(0, -ul[1]), min(br[1], res_h) - ul[1]
+    img_x = max(0, ul[0]), min(br[0], res_w)
+    img_y = max(0, ul[1]), min(br[1], res_h)
+    img[img_y[0]:img_y[1], img_x[0]:img_x[1]] = \
+        g[g_y[0]:g_y[1], g_x[0]:g_x[1]]
+    return img
+
+
+class TestDrawGaussian:
+    @pytest.mark.parametrize("pt", [
+        (32.0, 40.0), (0.5, 0.5), (63.0, 79.0), (5.7, 2.3), (-2.0, 40.0),
+        (70.0, 40.0),
+    ])
+    def test_matches_reference(self, pt):
+        ours = np.asarray(hm_ops.draw_gaussian_batch(
+            jnp.asarray([[pt]]), 80, 64, sigma=1))[0, 0]
+        golden = _reference_draw_gaussian(pt, 80, 64, 1)
+        np.testing.assert_allclose(ours, golden, atol=1e-6)
+
+
+def _reference_best_box(preds, confidence):
+    """Numpy emulation of write_results' best-box path (yolo/util.py:118-224)
+    for one image, single class."""
+    obj = preds[:, 4]
+    cls_score = preds[:, 5:].max(axis=1)
+    cls_idx = preds[:, 5:].argmax(axis=1)
+    mask = (obj > confidence) & (cls_idx == 0)
+    if not mask.any():
+        return None
+    cand = np.where(mask)[0]
+    best = cand[np.argmax(obj[cand])]
+    b = preds[best]
+    box = [b[0] - b[2] / 2, b[1] - b[3] / 2, b[0] + b[2] / 2, b[1] + b[3] / 2]
+    return box, obj[best], cls_score[best]
+
+
+class TestBestBox:
+    def test_matches_reference(self):
+        rng = np.random.default_rng(1)
+        preds = rng.random((2, 100, 7)).astype(np.float32)
+        preds[:, :, :4] *= 416
+        out = box_ops.best_box(jnp.asarray(preds), confidence=0.5)
+        for b in range(2):
+            golden = _reference_best_box(preds[b], 0.5)
+            if golden is None:
+                assert not bool(out["valid"][b])
+            else:
+                assert bool(out["valid"][b])
+                np.testing.assert_allclose(np.asarray(out["boxes"][b]),
+                                           golden[0], rtol=1e-5)
+                np.testing.assert_allclose(float(out["obj_score"][b]),
+                                           golden[1], rtol=1e-6)
+
+    def test_no_detection(self):
+        preds = np.zeros((1, 10, 7), np.float32)
+        out = box_ops.best_box(jnp.asarray(preds), confidence=0.5)
+        assert not bool(out["valid"][0])
+
+    def test_class_filter(self):
+        # nC=2: boxes whose argmax class != 0 must be ignored
+        preds = np.zeros((1, 3, 8), np.float32)
+        preds[0, 0, 4] = 0.9
+        preds[0, 0, 5:7] = [0.1, 0.9]   # class 1 -> filtered
+        preds[0, 1, 4] = 0.7
+        preds[0, 1, 5:7] = [0.8, 0.2]   # class 0 -> eligible
+        out = box_ops.best_box(jnp.asarray(preds), confidence=0.5)
+        assert bool(out["valid"][0])
+        assert abs(float(out["obj_score"][0]) - 0.7) < 1e-6
+
+
+class TestPoseNMS:
+    def _mk(self, rng, n=3, k=50):
+        bboxes = np.array([[10, 10, 110, 120]] * n, np.float64)
+        bscores = rng.random(n)
+        preds = rng.random((n, k, 2)) * 100
+        scores = rng.random((n, k, 1))
+        return bboxes, bscores, preds, scores
+
+    def test_single_candidate_paths_agree(self):
+        rng = np.random.default_rng(2)
+        bboxes, bscores, preds, scores = self._mk(rng, n=1)
+        full = pnms.pose_nms(bboxes, bscores, preds, scores)
+        kp, ksc, prop, valid = pnms.pose_nms_single(
+            jnp.asarray(bboxes[0]), float(bscores[0]),
+            jnp.asarray(preds[0]), jnp.asarray(scores[0]))
+        assert bool(valid) == (len(full) == 1)
+        if full:
+            np.testing.assert_allclose(np.asarray(kp), full[0]["keypoints"],
+                                       rtol=1e-5)
+            np.testing.assert_allclose(np.asarray(ksc),
+                                       full[0]["kp_score"][:, 0], rtol=1e-5)
+            np.testing.assert_allclose(float(prop),
+                                       full[0]["proposal_score"], rtol=1e-5)
+
+    def test_low_score_filtered(self):
+        rng = np.random.default_rng(3)
+        bboxes, bscores, preds, scores = self._mk(rng, n=1)
+        scores *= 0.2  # max < 0.3
+        assert pnms.pose_nms(bboxes, bscores, preds, scores) == []
+        _, _, _, valid = pnms.pose_nms_single(
+            jnp.asarray(bboxes[0]), float(bscores[0]),
+            jnp.asarray(preds[0]), jnp.asarray(scores[0]))
+        assert not bool(valid)
+
+    def test_identical_poses_merge_to_one(self):
+        rng = np.random.default_rng(4)
+        bboxes, bscores, preds, scores = self._mk(rng, n=3)
+        preds[1] = preds[0]
+        preds[2] = preds[0]
+        scores[:] = 0.9
+        out = pnms.pose_nms(bboxes, bscores, preds, scores)
+        assert len(out) == 1
+        # merged pose of identical candidates is the pose itself (+offset)
+        np.testing.assert_allclose(out[0]["keypoints"], preds[0] - 0.3,
+                                   rtol=1e-6)
+
+    def test_distinct_poses_kept(self):
+        rng = np.random.default_rng(5)
+        bboxes, bscores, preds, scores = self._mk(rng, n=2)
+        preds[1] = preds[0] + 500.0  # far apart
+        scores[:] = 0.9
+        out = pnms.pose_nms(bboxes, bscores, preds, scores)
+        assert len(out) == 2

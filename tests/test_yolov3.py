@@ -1,0 +1,215 @@
+"""YOLOv3 tests: cfg parsing/spec building, darknet .weights roundtrip,
+BN folding, torch-layout golden checks, and detection decode."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from betapose_tpu.models import darknet_cfg, yolov3
+
+TINY_CFG = """
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=1
+stride=1
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[shortcut]
+from=-3
+activation=linear
+
+[convolutional]
+size=1
+stride=1
+pad=1
+filters=18
+activation=linear
+
+[yolo]
+mask = 0,1,2
+anchors = 10,13,  16,30,  33,23
+classes=1
+num=3
+ignore_thresh = .7
+"""
+
+
+class TestSpec:
+    def test_parse_blocks(self):
+        blocks = darknet_cfg.parse_cfg(TINY_CFG)
+        assert blocks[0]["type"] == "convolutional"
+        assert blocks[-1]["type"] == "yolo"
+        assert blocks[-1]["mask"] == "0,1,2"
+
+    def test_build_spec(self):
+        spec = yolov3.build_spec(TINY_CFG)
+        kinds = [l.kind for l in spec.layers]
+        assert kinds == ["conv", "conv", "conv", "conv", "shortcut",
+                        "conv", "yolo"]
+        assert spec.layers[4].from_idx == 1  # shortcut from=-3 at idx 4
+        assert spec.layers[6].anchors == ((10, 13), (16, 30), (33, 23))
+        # shortcut needs layers 1 and 3 cached; yolo needs 5
+        assert 1 in spec.cache_idxs and 3 in spec.cache_idxs
+
+    def test_generated_yolov3_cfg(self):
+        cfg = darknet_cfg.make_yolov3_cfg(num_classes=1)
+        spec = yolov3.build_spec(cfg)
+        convs = [l for l in spec.layers if l.kind == "conv"]
+        assert len(convs) == 75  # parity with yolo-linemod-single.cfg
+        assert len(spec.yolo_idxs) == 3
+        heads = [spec.layers[i] for i in spec.yolo_idxs]
+        assert heads[0].anchors == ((116, 90), (156, 198), (373, 326))
+        assert heads[2].anchors == ((10, 13), (16, 30), (33, 23))
+        # head convs output (1+5)*3 = 18 filters
+        for i in spec.yolo_idxs:
+            assert spec.layers[i - 1].out_channels == 18
+
+
+class TestForward:
+    def test_shapes_tiny(self):
+        spec = yolov3.build_spec(TINY_CFG)
+        params = yolov3.init_params(jax.random.PRNGKey(0), spec)
+        x = jnp.zeros((2, 32, 32, 3))
+        out = yolov3.forward(spec, params, x, reso=32)
+        # one head at stride 2: gs=16, 3 anchors -> 768 boxes, 5+1 attrs
+        assert out.shape == (2, 3 * 16 * 16, 6)
+
+    def test_full_box_count(self):
+        cfg = darknet_cfg.make_yolov3_cfg(num_classes=1, width=416, height=416)
+        model = yolov3.YoloV3(cfg, reso=416)
+        x = jnp.zeros((1, 416, 416, 3))
+        out = model(x)
+        assert out.shape == (1, (13 * 13 + 26 * 26 + 52 * 52) * 3, 6)
+
+    def test_weights_roundtrip(self, tmp_path):
+        spec = yolov3.build_spec(TINY_CFG)
+        params = yolov3.init_params(jax.random.PRNGKey(1), spec)
+        path = str(tmp_path / "w.weights")
+        yolov3.save_darknet_weights(spec, params, path, seen=1234)
+        loaded, header = yolov3.load_darknet_weights(spec, path)
+        assert header[3] == 1234
+        for p, q in zip(params, loaded):
+            assert set(p) == set(q)
+            for k in p:
+                np.testing.assert_allclose(np.asarray(p[k]), np.asarray(q[k]),
+                                           rtol=1e-6)
+
+    def test_bn_fold_equivalence(self):
+        spec = yolov3.build_spec(TINY_CFG)
+        key = jax.random.PRNGKey(2)
+        params = yolov3.init_params(key, spec)
+        # randomize bn stats so folding is non-trivial
+        for p in params:
+            if "bn_mean" in p:
+                c = p["bn_mean"].shape[0]
+                key, k1, k2, k3, k4 = jax.random.split(key, 5)
+                p["bn_mean"] = jax.random.normal(k1, (c,)) * 0.1
+                p["bn_var"] = jnp.abs(jax.random.normal(k2, (c,))) + 0.5
+                p["bn_scale"] = 1 + jax.random.normal(k3, (c,)) * 0.1
+                p["bn_bias"] = jax.random.normal(k4, (c,)) * 0.1
+        x = jax.random.normal(jax.random.PRNGKey(3), (1, 32, 32, 3))
+        out1 = yolov3.forward(spec, params, x, reso=32)
+        folded = yolov3.fold_bn(spec, params)
+        out2 = yolov3.forward(spec, folded, x, reso=32)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                                   rtol=1e-4, atol=1e-5)
+
+
+class TestTorchGolden:
+    """Pin NHWC/HWIO conventions against torch NCHW/OIHW primitives."""
+
+    def test_conv_bn_leaky_vs_torch(self):
+        torch = pytest.importorskip("torch")
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((2, 16, 16, 5)).astype(np.float32)
+        w = rng.standard_normal((3, 3, 5, 7)).astype(np.float32)  # HWIO
+        bn = {k: rng.standard_normal(7).astype(np.float32) * 0.1 + v
+              for k, v in [("bn_scale", 1.0), ("bn_bias", 0.0),
+                           ("bn_mean", 0.0)]}
+        bn["bn_var"] = np.abs(rng.standard_normal(7).astype(np.float32)) + 0.5
+
+        l = yolov3.LayerSpec("conv", 7, size=3, stride=2, pad=1,
+                             batch_normalize=True, activation="leaky",
+                             in_channels=5)
+        p = {"w": jnp.asarray(w), **{k: jnp.asarray(v) for k, v in bn.items()}}
+        ours = np.asarray(yolov3._conv_layer(l, p, jnp.asarray(x)))
+
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        wt = torch.from_numpy(w.transpose(3, 2, 0, 1))  # OIHW
+        yt = torch.nn.functional.conv2d(xt, wt, stride=2, padding=1)
+        yt = torch.nn.functional.batch_norm(
+            yt, torch.from_numpy(bn["bn_mean"]), torch.from_numpy(bn["bn_var"]),
+            torch.from_numpy(bn["bn_scale"]), torch.from_numpy(bn["bn_bias"]),
+            training=False, eps=1e-5)
+        yt = torch.nn.functional.leaky_relu(yt, 0.1)
+        golden = yt.numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(ours, golden, rtol=1e-4, atol=1e-5)
+
+    def test_upsample_vs_torch(self):
+        torch = pytest.importorskip("torch")
+        x = np.random.default_rng(1).standard_normal((1, 4, 4, 3)).astype(np.float32)
+        ours = np.asarray(yolov3._upsample_nearest(jnp.asarray(x), 2))
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        golden = torch.nn.functional.interpolate(xt, scale_factor=2,
+                                                 mode="nearest")
+        np.testing.assert_allclose(
+            ours, golden.numpy().transpose(0, 2, 3, 1), rtol=1e-6)
+
+
+class TestDecode:
+    def test_decode_formula(self):
+        """Decoded boxes vs a direct numpy transcription of the reference
+        DetectionLayer equations (yolo/darknet.py:157-169)."""
+        rng = np.random.default_rng(5)
+        gs, na, nc, reso = 4, 3, 2, 32
+        anchors = ((10, 13), (16, 30), (33, 23))
+        stride = reso // gs
+        raw = rng.standard_normal((2, gs, gs, na * (5 + nc))).astype(np.float32)
+
+        out = np.asarray(yolov3.decode_head(jnp.asarray(raw), anchors, nc, reso))
+
+        def sig(v):
+            return 1 / (1 + np.exp(-v))
+
+        # numpy golden: [B,gs,gs,na,attrs] -> anchor-major rows
+        x = raw.reshape(2, gs, gs, na, 5 + nc).transpose(0, 3, 1, 2, 4)
+        golden = np.zeros_like(x)
+        grid = np.arange(gs, dtype=np.float32)
+        golden[..., 0] = (sig(x[..., 0]) + grid[None, None, None, :]) * stride
+        golden[..., 1] = (sig(x[..., 1]) + grid[None, None, :, None]) * stride
+        aw = np.array([a[0] for a in anchors], np.float32) / stride
+        ah = np.array([a[1] for a in anchors], np.float32) / stride
+        golden[..., 2] = np.exp(x[..., 2]) * aw[None, :, None, None] * stride
+        golden[..., 3] = np.exp(x[..., 3]) * ah[None, :, None, None] * stride
+        golden[..., 4] = sig(x[..., 4])
+        golden[..., 5:] = sig(x[..., 5:])
+        golden = golden.reshape(2, na * gs * gs, 5 + nc)
+        np.testing.assert_allclose(out, golden, rtol=1e-4, atol=1e-5)
