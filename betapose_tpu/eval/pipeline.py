@@ -1,0 +1,170 @@
+"""Fused 6D-pose inference pipeline.
+
+The reference runs a 4-process host pipeline with CPU<->GPU round-trips
+between every stage (ImageLoader -> DetectionLoader -> DetectionProcessor ->
+main loop -> DataWriter, `dataloader.py:90-763`).  Here the ENTIRE chain
+
+    frames(uint8) -> resize -> YOLOv3 -> best-box -> expand -> affine-crop
+    -> KPD heatmaps -> peak decode+refine -> pose score/offsets -> top-k
+    keypoint selection -> batched PnP -> (R, t)
+
+is ONE jit'd XLA computation per batch: no host round-trips, static shapes
+(capacity-1 detection per frame — the reference's best-box postprocessing
+keeps at most one box per frame anyway, `yolo/util.py:210-211`), bfloat16 on
+the conv paths with float32 decode/PnP.  Host code only decodes PNGs and
+feeds batches (double-buffered via JAX async dispatch).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from betapose_tpu.models import yolov3 as yolo_mod
+from betapose_tpu.models import kpd as kpd_mod
+from betapose_tpu.ops import boxes as box_ops
+from betapose_tpu.ops import image as image_ops
+from betapose_tpu.ops import heatmap as hm_ops
+from betapose_tpu.ops import pose_nms as pnms
+from betapose_tpu.ops import pnp as pnp_ops
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    reso: int = 416                 # YOLO input
+    inp_h: int = 320                # KPD crop
+    inp_w: int = 256
+    out_h: int = 80                 # KPD heatmap
+    out_w: int = 64
+    n_kp: int = 50
+    confidence: float = 0.01        # objectness threshold (opt.py:126)
+    left_keypoints: int = 50        # keypoints fed to PnP (dataloader.py:718)
+    preproc: str = "stretch"        # 'stretch' | 'letterbox'
+    target_class: int = 0
+    compute_dtype: str = "bfloat16"  # conv-path dtype
+
+
+def make_pose_step(yolo_spec, cfg: PipelineConfig):
+    """Build the fused step fn:
+
+    step(yolo_params, kpd_params, frames_u8 [B,H0,W0,3] RGB, kp3d [K,3],
+         cam_K [3,3]) -> dict of per-frame outputs.
+    """
+    cdtype = jnp.dtype(cfg.compute_dtype)
+
+    def step(yolo_params, kpd_params, frames, kp3d, cam_K):
+        b, h0, w0, _ = frames.shape
+        imgs = frames.astype(jnp.float32) / 255.0          # RGB [0,1]
+
+        # ---- detection ----
+        if cfg.preproc == "stretch":
+            yolo_in = jax.image.resize(
+                imgs, (b, cfg.reso, cfg.reso, 3), method="linear")
+        else:
+            yolo_in = image_ops.letterbox(
+                imgs * 255.0, cfg.reso, cfg.reso) / 255.0
+        dets = yolo_mod.forward(
+            yolo_spec, yolo_params, yolo_in.astype(cdtype), cfg.reso)
+        best = box_ops.best_box(dets, cfg.confidence, cfg.target_class)
+        if cfg.preproc == "stretch":
+            boxes = box_ops.rescale_boxes(best["boxes"], w0, h0, cfg.reso)
+        else:
+            boxes = box_ops.unletterbox_boxes(best["boxes"], w0, h0, cfg.reso)
+
+        # ---- crop (capacity 1 box/frame) ----
+        def crop_one(img, box):
+            crops, pt1, pt2 = image_ops.crop_from_dets(
+                img, box[None, :], cfg.inp_h, cfg.inp_w)
+            return crops[0], pt1[0], pt2[0]
+
+        crops, pt1, pt2 = jax.vmap(crop_one)(imgs, boxes)
+
+        # ---- keypoint heatmaps ----
+        hm_nhwc = kpd_mod.forward(kpd_params, crops.astype(cdtype))
+        hm = hm_nhwc.astype(jnp.float32).transpose(0, 3, 1, 2)  # [B,K,H,W]
+
+        # ---- decode + pose scoring ----
+        preds_hm, preds_img, maxval = hm_ops.decode_heatmaps(
+            hm, pt1, pt2, cfg.inp_h, cfg.inp_w, cfg.out_h, cfg.out_w)
+
+        def nms_one(box, obj_score, kp, sc):
+            return pnms.pose_nms_single(box, obj_score, kp, sc)
+
+        keypoints, kp_scores, proposal, nms_valid = jax.vmap(nms_one)(
+            boxes, best["obj_score"], preds_img, maxval)
+
+        # ---- keypoint pruning to left_keypoints (dataloader.py:718-724) ----
+        if cfg.left_keypoints < cfg.n_kp:
+            top_sc, top_idx = jax.lax.top_k(kp_scores, cfg.left_keypoints)
+            kp2d_sel = jnp.take_along_axis(
+                keypoints, top_idx[..., None], axis=1)
+            kp3d_sel = kp3d[top_idx]                      # [B, L, 3]
+        else:
+            kp2d_sel = keypoints
+            kp3d_sel = jnp.broadcast_to(
+                kp3d[None], (b,) + kp3d.shape)
+
+        # ---- PnP ----
+        R, t = jax.vmap(
+            lambda p3, p2: pnp_ops.solve_pnp(p3, p2, cam_K))(
+                kp3d_sel, kp2d_sel)
+
+        return {
+            "boxes": boxes,                       # [B,4] xyxy image coords
+            "obj_score": best["obj_score"],       # [B]
+            "det_valid": best["valid"],           # [B]
+            "keypoints": keypoints,               # [B,K,2] (-0.3 offset applied)
+            "kp_scores": kp_scores,               # [B,K]
+            "proposal_score": proposal,           # [B]
+            "pose_valid": best["valid"] & nms_valid,
+            "cam_R": R,                           # [B,3,3]
+            "cam_t": t,                           # [B,3]
+        }
+
+    return step
+
+
+class PosePipeline:
+    """Host-side wrapper: owns weights, jits the fused step, feeds batches.
+
+    Mirrors the role of the reference's DetectionLoader+DetectionProcessor+
+    DataWriter combination, minus the queues — batching and async dispatch
+    provide the overlap instead.
+    """
+
+    def __init__(self, yolo_cfg, yolo_params, kpd_params, kp3d, cam_K,
+                 cfg: PipelineConfig | None = None):
+        self.cfg = cfg or PipelineConfig()
+        self.spec = (yolo_cfg if isinstance(yolo_cfg, yolo_mod.NetworkSpec)
+                     else yolo_mod.build_spec(yolo_cfg))
+        self.yolo_params = yolo_params
+        self.kpd_params = kpd_params
+        self.kp3d = jnp.asarray(kp3d, jnp.float32)
+        self.cam_K = jnp.asarray(cam_K, jnp.float32)
+        self._step = jax.jit(make_pose_step(self.spec, self.cfg))
+
+    def __call__(self, frames_u8: np.ndarray):
+        """frames_u8: [B, H, W, 3] RGB uint8. Returns dict of host arrays."""
+        out = self._step(self.yolo_params, self.kpd_params,
+                         jnp.asarray(frames_u8), self.kp3d, self.cam_K)
+        return out
+
+    def run_batches(self, frame_iter, progress=None):
+        """Run over an iterator of uint8 frame batches with software
+        pipelining: dispatch batch i+1 before blocking on batch i."""
+        results = []
+        pending = None
+        for batch in frame_iter:
+            out = self(batch)
+            if pending is not None:
+                results.append(jax.device_get(pending))
+            pending = out
+            if progress is not None:
+                progress()
+        if pending is not None:
+            results.append(jax.device_get(pending))
+        return results

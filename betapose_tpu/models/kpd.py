@@ -119,19 +119,23 @@ def _conv(x, w, stride=1, pad=0):
         preferred_element_type=jnp.float32).astype(x.dtype)
 
 
-def _bn(x, p, train=False, compute_dtype=None):
+def _bn(x, p, train=False, stats=None, path=None):
+    """BatchNorm.  Inference: running stats.  Training: batch stats for the
+    normalization, and (batch_mean, batch_var_unbiased, count) recorded into
+    `stats[path]` so the train step can update running stats with torch
+    momentum semantics."""
+    if train:
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(0, 1, 2))
+        var = jnp.var(xf, axis=(0, 1, 2))
+        y = (xf - mean) * jax.lax.rsqrt(var + BN_EPS) * p["scale"] + p["bias"]
+        if stats is not None:
+            n = x.shape[0] * x.shape[1] * x.shape[2]
+            stats[path] = (mean, var * n / max(n - 1, 1))
+        return y.astype(x.dtype)
     scale = p["scale"] / jnp.sqrt(p["var"] + BN_EPS)
     y = x.astype(jnp.float32) * scale + (p["bias"] - p["mean"] * scale)
     return y.astype(x.dtype)
-
-
-def _bn_train(x, p):
-    """Batch-stats normalization (training). Returns (y, batch_mean, batch_var)."""
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=(0, 1, 2))
-    var = jnp.var(xf, axis=(0, 1, 2))
-    y = (xf - mean) * jax.lax.rsqrt(var + BN_EPS) * p["scale"] + p["bias"]
-    return y.astype(x.dtype), mean, var
 
 
 def pixel_shuffle(x, r: int = 2):
@@ -152,15 +156,19 @@ def _se(x, p):
     return x * s[:, None, None, :].astype(x.dtype)
 
 
-def _bottleneck(x, p, stride, train=False):
-    out = jax.nn.relu(_bn(_conv(x, p["conv1"]["w"]), p["bn1"], train))
-    out = jax.nn.relu(_bn(_conv(out, p["conv2"]["w"], stride, 1), p["bn2"], train))
-    out = _bn(_conv(out, p["conv3"]["w"]), p["bn3"], train)
+def _bottleneck(x, p, stride, train=False, stats=None, path=""):
+    out = jax.nn.relu(_bn(_conv(x, p["conv1"]["w"]), p["bn1"], train,
+                          stats, path + ".bn1"))
+    out = jax.nn.relu(_bn(_conv(out, p["conv2"]["w"], stride, 1), p["bn2"],
+                          train, stats, path + ".bn2"))
+    out = _bn(_conv(out, p["conv3"]["w"]), p["bn3"], train,
+              stats, path + ".bn3")
     if "se" in p:
         out = _se(out, p["se"])
     if "downsample" in p:
         residual = _bn(_conv(x, p["downsample"]["conv"]["w"], stride),
-                       p["downsample"]["bn"], train)
+                       p["downsample"]["bn"], train,
+                       stats, path + ".downsample.bn")
     else:
         residual = x
     return jax.nn.relu(out + residual)
@@ -173,25 +181,68 @@ def _maxpool_3x3_s2_p1(x):
         ((0, 0), (1, 1), (1, 1), (0, 0)))
 
 
-def _duc(x, p, train=False):
-    x = jax.nn.relu(_bn(_conv(x, p["conv"]["w"], 1, 1), p["bn"], train))
+def _duc(x, p, train=False, stats=None, path=""):
+    x = jax.nn.relu(_bn(_conv(x, p["conv"]["w"], 1, 1), p["bn"], train,
+                        stats, path + ".bn"))
     return pixel_shuffle(x, 2)
 
 
-def forward(params, x, train=False):
-    """x: [B, H, W, 3] normalized RGB. Returns [B, H/4, W/4, K] heatmaps."""
+def forward(params, x, train=False, bn_stats=None):
+    """x: [B, H, W, 3] normalized RGB. Returns [B, H/4, W/4, K] heatmaps.
+
+    train=True normalizes with batch statistics; pass a dict as `bn_stats`
+    to collect (batch_mean, unbiased_var) per BN path for running-stat
+    updates (see `apply_bn_updates`)."""
+    st = bn_stats
     x = jax.nn.relu(_bn(_conv(x, params["conv1"]["w"], 2, 3), params["bn1"],
-                        train))
+                        train, st, "bn1"))
     x = _maxpool_3x3_s2_p1(x)
     for li in range(1, 5):
         stride = 1 if li == 1 else 2
         for bi, blk in enumerate(params[f"layer{li}"]):
-            x = _bottleneck(x, blk, stride if bi == 0 else 1, train)
+            x = _bottleneck(x, blk, stride if bi == 0 else 1, train, st,
+                            f"layer{li}.{bi}")
     x = pixel_shuffle(x, 2)
-    x = _duc(x, params["duc1"], train)
-    x = _duc(x, params["duc2"], train)
+    x = _duc(x, params["duc1"], train, st, "duc1")
+    x = _duc(x, params["duc2"], train, st, "duc2")
     x = _conv(x, params["conv_out"]["w"], 1, 1) + params["conv_out"]["b"].astype(x.dtype)
     return x
+
+
+def _bn_dict_at(params, path):
+    cur = params
+    for part in path.split("."):
+        cur = cur[int(part)] if part.isdigit() else cur[part]
+    return cur
+
+
+def apply_bn_updates(params, bn_stats, momentum: float = 0.1):
+    """Update running mean/var with torch momentum semantics:
+    running = (1 - m) * running + m * batch.  Returns new params tree."""
+    import copy
+    new = copy.copy(params)  # shallow; rebuild touched paths
+
+    def set_path(tree, path_parts, value):
+        part = path_parts[0]
+        key = int(part) if part.isdigit() else part
+        if isinstance(tree, list):
+            tree = list(tree)
+        else:
+            tree = dict(tree)
+        if len(path_parts) == 1:
+            tree[key] = value
+        else:
+            tree[key] = set_path(tree[key], path_parts[1:], value)
+        return tree
+
+    for path, (mean, var) in bn_stats.items():
+        bn = _bn_dict_at(params, path)
+        new_bn = dict(bn)
+        new_bn["mean"] = (1 - momentum) * bn["mean"] + momentum * mean
+        new_bn["var"] = (1 - momentum) * bn["var"] + momentum * var
+        new = set_path(new, path.split("."), new_bn)
+        params = new
+    return new
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,149 @@
+"""KPD (FastPose) training: masked-MSE heatmap loss, RMSprop/Adam, data
+parallelism over a device mesh.
+
+Reference semantics (`train_KPD/src/train.py`):
+- loss = MSE(out * setMask, labels) (`train.py:33`) — setMask zeroes the
+  channels of invisible keypoints;
+- optimizers: rmsprop (torch defaults alpha=0.99 eps=1e-8) or adam, LR
+  2.5e-4 (`train.py:133-143`);
+- PCK accuracy with norm = outputResH/10 and threshold 0.5
+  (`KPD/src/utils/eval.py:36-53`);
+- multi-GPU via nn.DataParallel (`train.py:162`) -> here: pjit-style DP, the
+  batch sharded over the mesh 'data' axis, params replicated, gradient
+  all-reduce inserted by XLA over ICI.
+
+The train step takes batch-stat BN into account: batch statistics are used
+for normalization and the running stats are updated with torch momentum 0.1
+(matching nn.BatchNorm2d defaults used by the reference model).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from betapose_tpu.models import kpd as kpd_mod
+
+BN_MOMENTUM = 0.1  # torch BatchNorm2d default
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: int
+
+
+def _trainable_mask(params):
+    """BN running mean/var are buffers, not parameters (torch semantics) —
+    exclude them from optimizer updates."""
+    def mask_leaf(path, _leaf):
+        keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+        return not (keys and keys[-1] in ("mean", "var"))
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    leaves = [mask_leaf(p, l) for p, l in flat]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def make_optimizer(method: str = "rmsprop", lr: float = 2.5e-4,
+                   momentum: float = 0.0, weight_decay: float = 0.0,
+                   params_example=None):
+    if method == "rmsprop":
+        tx = optax.rmsprop(lr, decay=0.99, eps=1e-8, momentum=momentum)
+    elif method == "adam":
+        tx = optax.adam(lr)
+    elif method == "sgd":
+        tx = optax.sgd(lr, momentum=momentum)
+    else:
+        raise ValueError(f"unknown optimizer {method}")
+    if weight_decay:
+        tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
+    if params_example is not None:
+        tx = optax.masked(tx, _trainable_mask(params_example))
+    return tx
+
+
+def masked_mse_loss(out, labels, set_mask):
+    """MSE over all elements with torch 'mean' reduction semantics."""
+    diff = out * set_mask - labels
+    return jnp.mean(diff * diff)
+
+
+def pck_accuracy(out, labels, out_res_h: int):
+    """Heatmap PCK@0.5 with norm outputResH/10 (eval.py:36-53).
+    out/labels: [B, H, W, K] (NHWC).  Keypoints with non-positive label-peak
+    coords are ignored; returns (acc, n_valid)."""
+    def peaks(hm):
+        b, h, w, k = hm.shape
+        flat = hm.transpose(0, 3, 1, 2).reshape(b, k, h * w)
+        idx = jnp.argmax(flat, axis=2)
+        x = (idx % w).astype(jnp.float32)
+        y = jnp.floor(idx.astype(jnp.float32) / w)
+        return jnp.stack([x, y], axis=-1)   # [b,k,2]
+
+    p = peaks(out)
+    g = peaks(labels)
+    norm = out_res_h / 10.0
+    dist = jnp.linalg.norm(p - g, axis=-1) / norm
+    valid = (g[..., 0] > 0) & (g[..., 1] > 0)
+    correct = (dist <= 0.5) & valid
+    n_valid = jnp.maximum(jnp.sum(valid), 1)
+    return jnp.sum(correct) / n_valid, jnp.sum(valid)
+
+
+def make_loss_fn(out_res_h: int):
+    def loss_fn(params, batch):
+        bn_stats = {}
+        out = kpd_mod.forward(params, batch["inps"], train=True,
+                              bn_stats=bn_stats)
+        loss = masked_mse_loss(out, batch["labels"], batch["set_mask"])
+        acc, _ = pck_accuracy(out * batch["set_mask"], batch["labels"],
+                              out_res_h)
+        return loss, (acc, bn_stats)
+    return loss_fn
+
+
+def make_train_step(tx, out_res_h: int = 80, donate: bool = True):
+    """Returns jitted train_step(params, opt_state, batch) ->
+    (new_params, new_opt_state, metrics).  Call under a Mesh context with a
+    'data'-sharded batch for DP — XLA inserts the gradient all-reduce."""
+    loss_fn = make_loss_fn(out_res_h)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1) if donate else ())
+    def train_step(params, opt_state, batch):
+        (loss, (acc, bn_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        params = kpd_mod.apply_bn_updates(
+            params, jax.lax.stop_gradient(bn_stats), BN_MOMENTUM)
+        return params, opt_state, {"loss": loss, "acc": acc}
+
+    return train_step
+
+
+def make_eval_step(out_res_h: int = 80):
+    @jax.jit
+    def eval_step(params, batch):
+        out = kpd_mod.forward(params, batch["inps"])
+        loss = masked_mse_loss(out, batch["labels"], batch["set_mask"])
+        acc, n = pck_accuracy(out * batch["set_mask"], batch["labels"],
+                              out_res_h)
+        return {"loss": loss, "acc": acc, "n": n}
+    return eval_step
+
+
+def flip_tta_step(params, inps, flip_pairs=None):
+    """Flip test-time augmentation (valid path, train.py:80-84): average
+    predictions of the image and its horizontal flip.  LineMod keypoints have
+    no left/right semantics (flipRef is empty, dataloader.py:790), so no
+    channel swapping — only the spatial un-flip."""
+    out = kpd_mod.forward(params, inps)
+    out_f = kpd_mod.forward(params, inps[:, :, ::-1, :])
+    out_f = out_f[:, :, ::-1, :]
+    return (out + out_f) / 2.0

@@ -1,0 +1,180 @@
+"""KPD training CLI.
+
+Counterpart of `train_KPD/src/train.py` with the same flag surface
+(`--expID --nClasses --optMethod --trainBatch --addDPG --loadModel
+--nEpochs --snapshot ...`, README.md:62-69) on the TPU stack:
+host decodes PNGs, augmentation runs batched on device
+(`train/augment.py`), the train step is jit'd with DP sharding over the
+mesh, checkpoints are .npz pytrees + a torch-compatible option dump.
+
+Observability parity (SURVEY.md 5.5): per-iteration Train/Loss and
+Train/Acc scalars (tensorboardX if importable, else a metrics.jsonl file),
+stdout epoch summaries, valid every `snapshot` epochs with flip-TTA.
+
+Example:
+  python -m betapose_tpu.train.train_kpd_main --expID seq1 --nClasses 50 \
+      --optMethod adam --trainBatch 28 --annot_dir ./data/01 \
+      --img_dir ./data/01
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from betapose_tpu.core.config import make_parser
+from betapose_tpu.core import checkpoint as ckpt
+from betapose_tpu.models import kpd as kpd_mod
+from betapose_tpu.train import kpd_train
+from betapose_tpu.train.augment import AugmentConfig, augment_batch
+from betapose_tpu.data.annot import KPDTrainDataset
+from betapose_tpu.parallel import mesh as mesh_mod
+
+
+class MetricsLogger:
+    """tensorboardX if available, always a metrics.jsonl."""
+
+    def __init__(self, logdir):
+        os.makedirs(logdir, exist_ok=True)
+        self.path = os.path.join(logdir, "metrics.jsonl")
+        self.f = open(self.path, "a")
+        self.tb = None
+        try:
+            from tensorboardX import SummaryWriter
+            self.tb = SummaryWriter(logdir)
+        except Exception:
+            pass
+
+    def scalar(self, tag, value, step):
+        self.f.write(json.dumps(
+            {"tag": tag, "value": float(value), "step": int(step)}) + "\n")
+        if self.tb is not None:
+            self.tb.add_scalar(tag, float(value), step)
+
+    def flush(self):
+        self.f.flush()
+
+
+def add_train_args(parser):
+    parser.add_argument("--annot_dir", default="./data/05", type=str,
+                        help="directory holding annot_{train,eval}.h5")
+    parser.add_argument("--img_dir", default=None, type=str,
+                        help="image root (default: annot_dir)")
+    parser.add_argument("--valid_every", default=5, type=int)
+    parser.add_argument("--n_devices", default=None, type=int)
+    return parser
+
+
+def main(argv=None):
+    parser = add_train_args(make_parser("Betapose-TPU KPD training"))
+    args = parser.parse_args(argv)
+
+    exp_dir = os.path.join("exp", args.dataset, args.expID)
+    os.makedirs(exp_dir, exist_ok=True)
+    log = MetricsLogger(os.path.join("tensorboard", args.dataset, args.expID))
+
+    img_dir = args.img_dir or args.annot_dir
+    train_ds = KPDTrainDataset(
+        os.path.join(args.annot_dir, "annot_train.h5"),
+        os.path.join(img_dir, "train"), args.trainBatch, shuffle=True)
+    try:
+        valid_ds = KPDTrainDataset(
+            os.path.join(args.annot_dir, "annot_eval.h5"),
+            os.path.join(img_dir, "eval"), args.validBatch, shuffle=False)
+    except Exception:
+        valid_ds = None
+
+    n_kp = args.nClasses
+    params = kpd_mod.init_params(jax.random.PRNGKey(0), n_classes=n_kp)
+    start_epoch = args.epoch
+    if args.loadModel:
+        params = ckpt.load_kpd_checkpoint(args.loadModel, n_kp)
+        print(f"Loading model from {args.loadModel}")
+
+    tx = kpd_train.make_optimizer(args.optMethod, args.LR, args.momentum,
+                                  args.weightDecay, params_example=params)
+    opt_state = tx.init(params)
+    train_step = kpd_train.make_train_step(tx, out_res_h=args.outputResH)
+    eval_step = kpd_train.make_eval_step(out_res_h=args.outputResH)
+
+    mesh = mesh_mod.make_mesh(args.n_devices)
+    params = mesh_mod.replicate(mesh, params)
+    opt_state = mesh_mod.replicate(mesh, opt_state)
+
+    aug_cfg = AugmentConfig(
+        inp_h=args.inputResH, inp_w=args.inputResW,
+        out_h=args.outputResH, out_w=args.outputResW,
+        scale_min=0.2, scale_max=0.3, rotate=args.rotate,
+        hm_gauss=args.hmGauss, add_dpg=bool(args.addDPG), train=True)
+    key = jax.random.PRNGKey(42)
+
+    best_epoch, best_acc = 0, -1.0
+    it = args.trainIters
+    for epoch in range(start_epoch, args.nEpochs):
+        t0 = time.time()
+        ep_loss, ep_acc, n_it = 0.0, 0.0, 0
+        for batch_host in train_ds.epoch():
+            key, k1 = jax.random.split(key)
+            batch_dev = mesh_mod.shard_batch(mesh, {
+                "imgs": batch_host["imgs"],
+                "bndbox": batch_host["bndbox"],
+                "part": batch_host["part"]})
+            batch = augment_batch(k1, batch_dev["imgs"], batch_dev["bndbox"],
+                                  batch_dev["part"], aug_cfg)
+            params, opt_state, m = train_step(params, opt_state, batch)
+            it += 1
+            n_it += 1
+            loss, acc = float(m["loss"]), float(m["acc"])
+            ep_loss += loss
+            ep_acc += acc
+            log.scalar("Train/Loss", loss, it)
+            log.scalar("Train/Acc", acc, it)
+        ep_loss /= max(n_it, 1)
+        ep_acc /= max(n_it, 1)
+        print(f"Epoch {epoch} | loss {ep_loss:.6f} | acc {ep_acc:.4f} "
+              f"| {time.time() - t0:.1f}s")
+        log.flush()
+
+        if valid_ds is not None and epoch % args.valid_every == 0:
+            v_loss, v_acc, nv = 0.0, 0.0, 0
+            vcfg = AugmentConfig(
+                inp_h=args.inputResH, inp_w=args.inputResW,
+                out_h=args.outputResH, out_w=args.outputResW, train=False)
+            for batch_host in valid_ds.epoch():
+                key, k1 = jax.random.split(key)
+                batch = augment_batch(
+                    k1, jnp.asarray(batch_host["imgs"]),
+                    jnp.asarray(batch_host["bndbox"]),
+                    jnp.asarray(batch_host["part"]), vcfg)
+                m = eval_step(params, batch)
+                v_loss += float(m["loss"])
+                v_acc += float(m["acc"])
+                nv += 1
+            v_loss /= max(nv, 1)
+            v_acc /= max(nv, 1)
+            print(f"Valid epoch {epoch} | loss {v_loss:.6f} | acc {v_acc:.4f}")
+            log.scalar("Valid/Loss", v_loss, epoch)
+            log.scalar("Valid/Acc", v_acc, epoch)
+            if v_acc > best_acc:
+                best_acc, best_epoch = v_acc, epoch
+
+        if args.snapshot and epoch % args.snapshot == 0:
+            ckpt.save_pytree_npz(
+                os.path.join(exp_dir, f"model_{epoch}.npz"),
+                jax.device_get(params))
+            with open(os.path.join(exp_dir, "option.json"), "w") as f:
+                json.dump(vars(args), f, default=str)
+    print(f"Best epoch: {best_epoch}, acc {best_acc:.4f}")
+    ckpt.save_pytree_npz(os.path.join(exp_dir, "model_final.npz"),
+                         jax.device_get(params))
+    return params
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,202 @@
+"""End-to-end pipeline tests.
+
+1. Fused-graph smoke: tiny YOLO + tiny-input KPD, random weights — compiles
+   under jit, produces well-formed outputs.
+2. Geometric end-to-end: plant a known 6D pose, synthesize crop-space
+   heatmaps at the projected keypoints, run decode -> invert -> PnP and
+   recover the planted pose (validates the whole post-network math chain).
+3. Results JSON writer schema.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from betapose_tpu.models import yolov3 as yolo_mod
+from betapose_tpu.models import kpd as kpd_mod
+from betapose_tpu.eval.pipeline import PosePipeline, PipelineConfig
+from betapose_tpu.eval import results as results_mod
+from betapose_tpu.ops import image as image_ops
+from betapose_tpu.ops import heatmap as hm_ops
+from betapose_tpu.ops import pnp as pnp_ops
+
+TINY_YOLO_CFG = """
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+size=1
+stride=1
+pad=1
+filters=18
+activation=linear
+
+[yolo]
+mask = 0,1,2
+anchors = 10,13,  16,30,  33,23
+classes=1
+num=3
+ignore_thresh = .7
+"""
+
+CAM_K = np.array([[572.4114, 0.0, 325.2611],
+                  [0.0, 573.57043, 242.04899],
+                  [0.0, 0.0, 1.0]])
+
+
+class TestFusedSmoke:
+    def test_pipeline_runs(self):
+        spec = yolo_mod.build_spec(TINY_YOLO_CFG)
+        yolo_params = yolo_mod.fold_bn(
+            spec, yolo_mod.init_params(jax.random.PRNGKey(0), spec))
+        kpd_params = kpd_mod.init_params(jax.random.PRNGKey(1), n_classes=6,
+                                         arch="resnet50")
+        kp3d = np.random.default_rng(0).standard_normal((6, 3)) * 0.05
+        cfg = PipelineConfig(reso=96, inp_h=64, inp_w=48, out_h=16, out_w=12,
+                             n_kp=6, confidence=0.01,
+                             left_keypoints=6, compute_dtype="float32")
+        pipe = PosePipeline(spec, yolo_params, kpd_params, kp3d, CAM_K, cfg)
+        frames = np.random.default_rng(1).integers(
+            0, 255, (2, 120, 160, 3), dtype=np.uint8)
+        out = pipe(frames)
+        assert out["boxes"].shape == (2, 4)
+        assert out["keypoints"].shape == (2, 6, 2)
+        assert out["cam_R"].shape == (2, 3, 3)
+        assert out["cam_t"].shape == (2, 3)
+        assert np.all(np.isfinite(np.asarray(out["proposal_score"])))
+
+    def test_run_batches_pipelining(self):
+        spec = yolo_mod.build_spec(TINY_YOLO_CFG)
+        yolo_params = yolo_mod.fold_bn(
+            spec, yolo_mod.init_params(jax.random.PRNGKey(0), spec))
+        kpd_params = kpd_mod.init_params(jax.random.PRNGKey(1), n_classes=6,
+                                         arch="resnet50")
+        kp3d = np.zeros((6, 3))
+        cfg = PipelineConfig(reso=96, inp_h=64, inp_w=48, out_h=16, out_w=12,
+                             n_kp=6, left_keypoints=6,
+                             compute_dtype="float32")
+        pipe = PosePipeline(spec, yolo_params, kpd_params, kp3d, CAM_K, cfg)
+        batches = [np.zeros((1, 120, 160, 3), np.uint8) for _ in range(3)]
+        results = pipe.run_batches(iter(batches))
+        assert len(results) == 3
+
+
+class TestGeometricChain:
+    def test_planted_pose_recovered(self):
+        """Project keypoints under a known pose, paint heatmaps in crop
+        space, then decode -> invert -> PnP must recover the pose."""
+        rng = np.random.default_rng(7)
+        n_kp = 50
+        kp3d = rng.standard_normal((n_kp, 3)) * 0.04
+        q, _ = np.linalg.qr(rng.standard_normal((3, 3)))
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1
+        t = np.array([0.02, -0.01, 0.8])
+        pc = kp3d @ q.T + t
+        uv = (CAM_K @ pc.T).T
+        uv = uv[:, :2] / uv[:, 2:3]                      # image-space kp
+
+        # box around the keypoints, expanded like the pipeline would
+        x1, y1 = uv.min(axis=0) - 10
+        x2, y2 = uv.max(axis=0) + 10
+        ul, br = image_ops.expand_boxes(
+            jnp.asarray([[x1, y1, x2, y2]]), 480, 640)
+
+        inp_h, inp_w, out_h, out_w = 320, 256, 80, 64
+        # forward transform: image -> heatmap coords (inverse of
+        # transform_box_invert); derive from the same geometry
+        uln = np.asarray(ul[0])
+        brn = np.asarray(br[0])
+        center = (brn - 1 - uln) / 2
+        size_h = max(brn[1] - uln[1], (brn[0] - uln[0]) * inp_h / inp_w)
+        len_w = size_h * inp_w / inp_h
+        off_x = max(0.0, (len_w - 1) / 2 - center[0])
+        off_y = max(0.0, (size_h - 1) / 2 - center[1])
+        hm_xy = np.stack([
+            (uv[:, 0] - uln[0] + off_x) * out_h / size_h,
+            (uv[:, 1] - uln[1] + off_y) * out_h / size_h], axis=1)
+
+        hms = np.asarray(hm_ops.draw_gaussian_batch(
+            jnp.asarray(hm_xy[None]), out_h, out_w, sigma=1))
+
+        preds, preds_img, maxval = hm_ops.decode_heatmaps(
+            jnp.asarray(hms), ul, br, inp_h, inp_w, out_h, out_w)
+        kp2d = np.asarray(preds_img[0])
+
+        # peak quantization ~ size_h/out_h px; keep only in-map keypoints
+        vis = np.asarray(maxval[0, :, 0]) > 0.5
+        assert vis.sum() >= 20
+        R_est, t_est = pnp_ops.solve_pnp(
+            jnp.asarray(kp3d[vis]), jnp.asarray(kp2d[vis]),
+            jnp.asarray(CAM_K))
+        from betapose_tpu.geometry import metrics
+        pose_gt = np.eye(4)
+        pose_gt[:3, :3] = q
+        pose_gt[:3, 3] = t
+        pose_est = np.eye(4)
+        pose_est[:3, :3] = np.asarray(R_est)
+        pose_est[:3, 3] = np.asarray(t_est)
+        add_mm = metrics.add_err(pose_gt, pose_est, kp3d) * 1000
+        # quantization-limited; LineMod ADD threshold is diameter/10 (~10mm)
+        assert add_mm < 8.0, add_mm
+
+
+class TestResultsJson:
+    def test_schema(self, tmp_path):
+        rng = np.random.default_rng(0)
+        frame = results_mod.make_frame_result(
+            "0001.png",
+            [{"bbox": np.array([1.0, 2, 3, 4]),
+              "keypoints": rng.random((50, 2)),
+              "kp_score": rng.random((50, 1)),
+              "proposal_score": 2.5}],
+            rng.random((3, 3)), rng.random((3, 1)))
+        out = results_mod.write_json([frame], str(tmp_path))
+        data = json.load(open(out))
+        assert len(data) == 1
+        r = data[0]
+        assert r["image_id"] == "0001.png"
+        assert len(r["cam_R"]) == 9
+        assert len(r["cam_t"]) == 3
+        assert len(r["keypoints"]) == 150
+        assert abs(r["score"] - 2.5) < 1e-9
+
+    def test_cmu_format(self, tmp_path):
+        rng = np.random.default_rng(1)
+        frame = results_mod.make_frame_result(
+            "0002.png",
+            [{"bbox": np.zeros(4), "keypoints": rng.random((50, 2)),
+              "kp_score": rng.random((50, 1)), "proposal_score": 1.0}],
+            rng.random((3, 3)), rng.random((3, 1)))
+        out = results_mod.write_json([frame], str(tmp_path), form="cmu")
+        data = json.load(open(out))
+        assert "0002.png" in data
+        assert data["0002.png"]["version"] == "Betapose v1.0"
+        assert len(data["0002.png"]["bodies"][0]["joints"]) == 18 * 3
+        assert os.path.exists(tmp_path / "sep-json" / "0002.json")

@@ -1,0 +1,160 @@
+"""YOLO training tests: loss assignment semantics, LR schedule, HSV/crop
+augmentation, end-to-end step on a tiny net."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from betapose_tpu.models import yolov3 as yolo_mod
+from betapose_tpu.train import yolo_train
+from betapose_tpu.train.yolo_loss import head_loss, yolo_loss
+
+TINY_CFG = """
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+size=1
+stride=1
+pad=1
+filters=18
+activation=linear
+
+[yolo]
+mask = 0,1,2
+anchors = 10,13,  16,30,  33,23
+classes=1
+num=3
+ignore_thresh = .7
+"""
+
+
+class TestHeadLoss:
+    def test_single_gt_assignment(self):
+        rng = np.random.default_rng(0)
+        gs, na, nc, net = 8, 3, 1, 64
+        anchors = [(10, 13), (16, 30), (33, 23)]
+        raw = jnp.asarray(rng.standard_normal((1, gs, gs, na * (5 + nc)))
+                          .astype(np.float32) * 0.01)
+        # GT box at center (0.55, 0.30), size ~ anchor 1 (16x30 at net 64)
+        truths = np.zeros((1, 4, 5), np.float32)
+        truths[0, 0] = [0.55, 0.30, 16 / 64, 30 / 64, 0]
+        loss, m = head_loss(raw, anchors, anchors, nc, net, net,
+                            jnp.asarray(truths))
+        assert float(m["count"]) == 1.0
+        assert np.isfinite(float(loss))
+
+    def test_anchor_not_in_mask_skipped(self):
+        rng = np.random.default_rng(1)
+        gs, nc, net = 8, 1, 64
+        head_anchors = [(10, 13)]
+        all_anchors = [(10, 13), (116, 90)]
+        raw = jnp.asarray(rng.standard_normal((1, gs, gs, 1 * (5 + nc)))
+                          .astype(np.float32) * 0.01)
+        # large GT -> best anchor is (116,90), not in this head's mask
+        truths = np.zeros((1, 4, 5), np.float32)
+        truths[0, 0] = [0.5, 0.5, 0.9, 0.9, 0]
+        _, m = head_loss(raw, head_anchors, all_anchors, nc, net, net,
+                         jnp.asarray(truths))
+        assert float(m["count"]) == 0.0
+
+    def test_ignore_thresh_zeroes_background(self):
+        """A confident pred overlapping GT > 0.7 must not get noobj loss."""
+        gs, na, nc, net = 4, 1, 1, 64
+        anchors = [(16, 16)]
+        raw = np.zeros((1, gs, gs, na * (5 + nc)), np.float32)
+        # put a GT aligned exactly with the anchor at cell (2,1):
+        # x=(2+0.5)/4, y=(1+0.5)/4, w=h=16/64 -> pred at zero logits equals it
+        truths = np.zeros((1, 2, 5), np.float32)
+        truths[0, 0] = [(2 + 0.5) / 4, (1 + 0.5) / 4, 16 / 64, 16 / 64, 0]
+        raw_j = jnp.asarray(raw)
+        loss_with_gt, m = head_loss(raw_j, anchors, anchors, nc, net, net,
+                                    jnp.asarray(truths))
+        # same raw, GT far away: the cell now contributes background loss
+        truths2 = np.zeros((1, 2, 5), np.float32)
+        truths2[0, 0] = [0.9, 0.9, 16 / 64, 16 / 64, 0]
+        loss_far, _ = head_loss(raw_j, anchors, anchors, nc, net, net,
+                                jnp.asarray(truths2))
+        assert np.isfinite(float(loss_with_gt))
+        assert np.isfinite(float(loss_far))
+
+    def test_gradient_decreases_loss(self):
+        spec = yolo_mod.build_spec(TINY_CFG)
+        params = yolo_mod.init_params(jax.random.PRNGKey(0), spec)
+        cfg = yolo_train.YoloTrainConfig(lr=1e-3, burn_in=0, steps=(10**6,),
+                                         scales=(0.1,))
+        tx = yolo_train.make_optimizer(cfg)
+        opt_state = tx.init(params)
+        step = yolo_train.make_train_step(spec, tx, 64, 64, donate=False)
+        rng = np.random.default_rng(2)
+        imgs = jnp.asarray(rng.random((2, 64, 64, 3)).astype(np.float32))
+        truths = np.zeros((2, 4, 5), np.float32)
+        truths[0, 0] = [0.5, 0.5, 0.3, 0.4, 0]
+        truths[1, 0] = [0.3, 0.6, 0.2, 0.2, 0]
+        truths = jnp.asarray(truths)
+        losses = []
+        for _ in range(8):
+            params, opt_state, m = step(params, opt_state, imgs, truths)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0]
+
+
+class TestSchedule:
+    def test_burn_in_and_steps(self):
+        cfg = yolo_train.YoloTrainConfig(lr=1e-3, burn_in=100,
+                                         steps=(1000, 2000),
+                                         scales=(0.1, 0.1))
+        lr = yolo_train.lr_schedule(cfg)
+        assert float(lr(0)) == 0.0
+        assert abs(float(lr(50)) - 1e-3 * 0.5 ** 4) < 1e-9
+        assert abs(float(lr(500)) - 1e-3) < 1e-9
+        assert abs(float(lr(1500)) - 1e-4) < 1e-10
+        assert abs(float(lr(2500)) - 1e-5) < 1e-11
+
+
+class TestAugment:
+    def test_hsv_roundtrip(self):
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(rng.random((8, 8, 3)).astype(np.float32))
+        hsv = yolo_train._rgb_to_hsv(img)
+        back = yolo_train._hsv_to_rgb(hsv)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(img),
+                                   atol=1e-5)
+
+    def test_crop_jitter_keeps_box(self):
+        rng = np.random.default_rng(4)
+        img = jnp.asarray(rng.random((64, 96, 3)).astype(np.float32))
+        boxes = jnp.asarray([[0.5, 0.5, 0.4, 0.5, 0.0]])
+        out, nb = yolo_train.crop_jitter(
+            jax.random.PRNGKey(0), img, boxes,
+            jnp.asarray([True]), 0.2, 32, 48)
+        assert out.shape == (32, 48, 3)
+        nb = np.asarray(nb)
+        assert nb[0, 2] > 0.1 and nb[0, 3] > 0.1  # still a real box
+        assert 0 <= nb[0, 0] <= 1 and 0 <= nb[0, 1] <= 1
+
+    def test_batch_augment(self):
+        rng = np.random.default_rng(5)
+        imgs = jnp.asarray(rng.random((2, 64, 96, 3)).astype(np.float32))
+        truths = np.zeros((2, 3, 5), np.float32)
+        truths[:, 0] = [0.5, 0.5, 0.3, 0.3, 0]
+        cfg = yolo_train.YoloTrainConfig()
+        out, tr = yolo_train.augment_detection_batch(
+            jax.random.PRNGKey(1), imgs, jnp.asarray(truths), cfg, 32, 48)
+        assert out.shape == (2, 32, 48, 3)
+        assert tr.shape == (2, 3, 5)
+        assert np.all(np.asarray(out) >= 0) and np.all(np.asarray(out) <= 1)
