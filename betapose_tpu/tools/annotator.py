@@ -1,0 +1,179 @@
+"""Stage 2 — keypoint annotator.
+
+Counterpart of `2_keypoint_annotator/annotate_keypoint.py` (same flags, same
+outputs): for every GT frame of the chosen object, project the designated 3D
+keypoints through the GT pose into the image, express them relative to the
+posed model's mask bbox remapped onto the GT bbox, save per-frame
+bbox/kp .npy files, split train/eval, and pack `annot_{train,eval}.h5`.
+
+The reference projects every mesh vertex in a Python loop per frame
+(`annotate_keypoint.py:121-148`, ~0.1s/frame x 15k vertices); here the
+projection and mask-bbox reduction are single vectorized numpy expressions
+(equivalent result: the z-buffer depth values were only ever used as an
+occupancy mask for the bbox — the local-top visibility pass is commented out
+in the reference).
+
+Pixel semantics preserved exactly: a vertex marks pixel (int(x), int(y))
+only when 0 < int(y) < 480 and 0 < int(x) < 640 (strict, annotate_keypoint.py:137),
+and the mask bbox is [first, last] occupied column/row
+(`utils/utils.py:141-157`).
+
+Usage:
+  python -m betapose_tpu.tools.annotator --obj_id 1 \
+      --sixd_base <sixd> --output_base ./data/
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+
+import numpy as np
+
+from betapose_tpu.data import sixd as sixd_mod
+from betapose_tpu.data.annot import write_annot_h5
+from betapose_tpu.geometry.model3d import Model3D
+
+IMG_H, IMG_W = 480, 640
+
+
+def make_parser():
+    """Flag parity with `2_keypoint_annotator/opt.py:4-19`."""
+    p = argparse.ArgumentParser(description="Betapose-TPU keypoint annotator")
+    p.add_argument("--obj_id", default=2, type=int)
+    p.add_argument("--total_kp_number", default=50, type=int)
+    p.add_argument("--train_split", default=180, type=int,
+                   help="number of images selected for training")
+    p.add_argument("--output_base", default="./kp_dataset/", type=str)
+    p.add_argument("--sixd_base",
+                   default="/media/data_2/SIXD/hinterstoisser", type=str)
+    p.add_argument("--seed", default=None, type=int,
+                   help="train/eval split seed (reference uses np.random)")
+    return p
+
+
+def project_points(pts_cam, cam):
+    """Pinhole projection of (N,3) camera-space points -> (N,2) pixels."""
+    x = pts_cam[:, 0] * cam[0, 0] / pts_cam[:, 2] + cam[0, 2]
+    y = pts_cam[:, 1] * cam[1, 1] / pts_cam[:, 2] + cam[1, 2]
+    return np.stack([x, y], axis=1)
+
+
+def mask_bbox_of_model(verts_cam, cam):
+    """Occupancy-mask bbox (xmin, xmax, ymin, ymax) of the projected model,
+    with the reference's strict-interior pixel test."""
+    xy = project_points(verts_cam, cam)
+    xi = xy[:, 0].astype(np.int64)
+    yi = xy[:, 1].astype(np.int64)
+    keep = (yi > 0) & (yi < IMG_H) & (xi > 0) & (xi < IMG_W)
+    if not keep.any():
+        return -1, -1, -1, -1
+    xi, yi = xi[keep], yi[keep]
+    return int(xi.min()), int(xi.max()), int(yi.min()), int(yi.max())
+
+
+def annotate_frame(pose, gt_bbox_xyxy, model_verts, kp_verts, cam):
+    """One frame's (bbox, kp_img_xy) annotation.
+
+    Reference math (`annotate_keypoint.py:151-186, 233-299`): keypoints are
+    projected, turned into ratios relative to the MASK bbox, then re-expanded
+    onto the GT bbox — a scale-correction trick aligning annotations to the
+    detector's boxes."""
+    R, t = pose[:3, :3], pose[:3, 3]
+    verts_cam = model_verts @ R.T + t
+    kp_cam = kp_verts @ R.T + t
+    xmin, xmax, ymin, ymax = mask_bbox_of_model(verts_cam, cam)
+
+    kp_xy = project_points(kp_cam, cam)
+    x_ratio = (kp_xy[:, 0] - xmin) / max(xmax - xmin, 1e-9)
+    y_ratio = (kp_xy[:, 1] - ymin) / max(ymax - ymin, 1e-9)
+
+    gx1, gy1, gx2, gy2 = gt_bbox_xyxy
+    kp_img = np.stack([
+        x_ratio * (gx2 - gx1) + gx1,
+        y_ratio * (gy2 - gy1) + gy1], axis=1)
+    return np.asarray(gt_bbox_xyxy, np.float64), kp_img
+
+
+def run(args):
+    obj_id = args.obj_id
+    out_base = args.output_base + "{:02d}".format(obj_id)
+    os.makedirs(out_base, exist_ok=True)
+    bbox_dir = os.path.join(out_base, "bbox")
+    kp_dir = os.path.join(out_base, "kp_label")
+    os.makedirs(bbox_dir, exist_ok=True)
+    os.makedirs(kp_dir, exist_ok=True)
+
+    print("Running keypoint dataset generator ...")
+    cam = sixd_mod.LINEMOD_CAM_K
+    model = Model3D(os.path.join(args.sixd_base, "models",
+                                 f"obj_{obj_id:02d}.ply"), scale=0.001)
+    kp_model = Model3D(os.path.join(args.sixd_base, "kpmodels",
+                                    f"obj_{obj_id:02d}.ply"), scale=0.001)
+    kp_model.refine(args.total_kp_number)
+
+    bench = sixd_mod.load_sixd(args.sixd_base, seq=obj_id)
+    print("Loading finished!")
+
+    annos = {}  # frame idx -> (bbox, kp)
+    counter = 0
+    for idx, fr in enumerate(bench.frames):
+        if idx % 100 == 0:
+            print(idx, "has finished!")
+        for name, pose, bb in fr.gt:
+            if int(name) != obj_id:
+                continue
+            bbox_xyxy = [bb[0], bb[1], bb[0] + bb[2], bb[1] + bb[3]]
+            bbox, kp_img = annotate_frame(
+                pose, bbox_xyxy, model.vertices, kp_model.vertices, cam)
+            np.save(os.path.join(bbox_dir, f"{counter}.npy"), bbox)
+            np.save(os.path.join(kp_dir, f"{counter}.npy"), kp_img)
+            annos[idx] = (bbox, kp_img)
+            counter += 1
+
+    print("Now spliting images into training and eval.")
+    rgb_dir = os.path.join(args.sixd_base, "test",
+                           "{:02d}".format(obj_id), "rgb")
+    all_imgs = sorted(os.listdir(rgb_dir))
+    rng = np.random.default_rng(args.seed)
+    selected = set(rng.choice(len(all_imgs), args.train_split,
+                              replace=False).tolist())
+    train_dir = os.path.join(out_base, "train")
+    eval_dir = os.path.join(out_base, "eval")
+    os.makedirs(train_dir, exist_ok=True)
+    os.makedirs(eval_dir, exist_ok=True)
+
+    split = {"train": [], "eval": []}
+    for idx, img in enumerate(all_imgs):
+        img_idx = int(os.path.splitext(img)[0])
+        dest_name = "%012d.png" % img_idx
+        dest_dir = train_dir if idx in selected else eval_dir
+        shutil.copyfile(os.path.join(rgb_dir, img),
+                        os.path.join(dest_dir, dest_name))
+        split["train" if idx in selected else "eval"].append(
+            (dest_name, img_idx))
+
+    print("Now generating h5 files for annotations.")
+    for t in ("train", "eval"):
+        names, bbs, kps = [], [], []
+        for dest_name, img_idx in split[t]:
+            if img_idx not in annos:
+                continue
+            bbox, kp_img = annos[img_idx]
+            names.append(dest_name)
+            bbs.append(bbox.reshape(1, 4))
+            kps.append(kp_img)
+        write_annot_h5(os.path.join(out_base, f"annot_{t}.h5"),
+                       names, np.stack(bbs), np.stack(kps))
+    print("All done!")
+    return out_base
+
+
+def main(argv=None):
+    args = make_parser().parse_args(argv)
+    return run(args)
+
+
+if __name__ == "__main__":
+    main()

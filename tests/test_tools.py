@@ -1,0 +1,165 @@
+"""Offline tools tests: 3D SIFT designator (native C++ vs numpy twin) and
+the keypoint annotator end-to-end on a synthetic SIXD dataset."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from betapose_tpu.data import ply as plyio
+from betapose_tpu.tools.designator import designator as dsg
+
+
+def _bumpy_cloud(n_side=24, seed=0):
+    """A plane with two sharp z-bumps — clear scale-space extrema."""
+    xs = np.linspace(0, 1, n_side)
+    g = np.stack(np.meshgrid(xs, xs), axis=-1).reshape(-1, 2)
+    z = (0.5 * np.exp(-np.sum((g - [0.3, 0.3]) ** 2, 1) / 0.004)
+         - 0.5 * np.exp(-np.sum((g - [0.75, 0.6]) ** 2, 1) / 0.004))
+    return np.concatenate([g, z[:, None]], axis=1)
+
+
+SIFT_PARAMS = dict(min_scale=0.02, n_octaves=3, n_scales_per_octave=4,
+                   min_contrast=0.05)
+
+
+class TestDesignator:
+    def test_numpy_finds_bumps(self):
+        pts = _bumpy_cloud()
+        kp = dsg.sift3d_numpy(pts, **SIFT_PARAMS)
+        assert len(kp) >= 2
+        # at least one keypoint near each bump apex
+        d1 = np.linalg.norm(kp[:, :2] - [0.3, 0.3], axis=1).min()
+        d2 = np.linalg.norm(kp[:, :2] - [0.75, 0.6], axis=1).min()
+        assert d1 < 0.1 and d2 < 0.1
+
+    def test_native_matches_numpy(self, tmp_path):
+        binary = dsg.build_native()
+        if binary is None:
+            pytest.skip("no C++ toolchain")
+        pts = _bumpy_cloud()
+        in_ply = str(tmp_path / "in.ply")
+        out_ply = str(tmp_path / "out.ply")
+        plyio.write_vertices_ascii(in_ply, pts)
+        dsg.designate(in_ply, out_ply, use_native=True, **SIFT_PARAMS)
+        kp_native = plyio.read_vertices(out_ply)
+        kp_np = dsg.sift3d_numpy(pts, **SIFT_PARAMS)
+        # same algorithm, float32 vs float64 — keypoint sets should be
+        # nearly identical; require symmetric nearest-distance ~0
+        assert len(kp_native) > 0
+        d_n2p = np.array([np.linalg.norm(kp_np - k, axis=1).min()
+                          for k in kp_native])
+        assert np.median(d_n2p) < 1e-4
+        assert abs(len(kp_native) - len(kp_np)) <= max(
+            2, 0.2 * max(len(kp_native), len(kp_np)))
+
+    def test_cli_roundtrip(self, tmp_path):
+        pts = _bumpy_cloud()
+        in_ply = str(tmp_path / "in.ply")
+        out_ply = str(tmp_path / "kp.ply")
+        plyio.write_vertices_ascii(in_ply, pts)
+        dsg.designate(in_ply, out_ply, use_native=False, **SIFT_PARAMS)
+        kp = plyio.read_vertices(out_ply)
+        assert kp.shape[1] == 3
+
+
+@pytest.fixture
+def synthetic_sixd(tmp_path):
+    """Minimal SIXD/LineMod-shaped dataset: one object (a cube at ~60 cm),
+    3 frames with GT poses, models/kpmodels ply, yml metadata, rgb pngs."""
+    cv2 = pytest.importorskip("cv2")
+    base = tmp_path / "sixd"
+    (base / "models").mkdir(parents=True)
+    (base / "kpmodels").mkdir()
+    seq = base / "test" / "01"
+    (seq / "rgb").mkdir(parents=True)
+
+    rng = np.random.default_rng(0)
+    # cube point cloud in mm (unit matters: loader scales by 0.001)
+    s = 40.0  # 8cm cube
+    corners = np.array([[x, y, z] for x in (-s, s) for y in (-s, s)
+                        for z in (-s, s)])
+    surface = rng.uniform(-s, s, (400, 3))
+    # project onto faces
+    ax = rng.integers(0, 3, 400)
+    sign = rng.choice([-1.0, 1.0], 400)
+    surface[np.arange(400), ax] = sign * s
+    verts = np.concatenate([corners, surface])
+    plyio.write_vertices_ascii(base / "models" / "obj_01.ply", verts)
+    kp = verts[rng.choice(len(verts), 60, replace=False)]
+    plyio.write_vertices_ascii(base / "kpmodels" / "obj_01.ply", kp)
+
+    with open(base / "models" / "models_info.yml", "w") as f:
+        yaml.safe_dump({1: {"diameter": float(2 * s * np.sqrt(3))}}, f)
+
+    gts, infos = {}, {}
+    for i in range(3):
+        ang = 0.3 * i
+        R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                      [np.sin(ang), np.cos(ang), 0],
+                      [0, 0, 1]])
+        t = np.array([20.0 * i - 10.0, 5.0 * i, 600.0 + 30 * i])  # mm
+        gts[i] = [{
+            "cam_R_m2c": R.reshape(-1).tolist(),
+            "cam_t_m2c": t.reshape(-1, 1).tolist(),
+            "obj_bb": [200, 150, 180, 170],
+            "obj_id": 1,
+        }]
+        infos[i] = {"cam_K": [572.4114, 0.0, 325.2611, 0.0, 573.57043,
+                              242.04899, 0.0, 0.0, 1.0]}
+        img = rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)
+        cv2.imwrite(str(seq / "rgb" / f"{i:04d}.png"), img)
+    with open(seq / "gt.yml", "w") as f:
+        yaml.safe_dump(gts, f)
+    with open(seq / "info.yml", "w") as f:
+        yaml.safe_dump(infos, f)
+    return str(base)
+
+
+class TestAnnotator:
+    def test_end_to_end(self, synthetic_sixd, tmp_path):
+        from betapose_tpu.tools import annotator
+        from betapose_tpu.data.annot import read_annot_h5
+
+        out_base = str(tmp_path / "kp_dataset") + os.sep
+        args = annotator.make_parser().parse_args([
+            "--obj_id", "1", "--total_kp_number", "20",
+            "--train_split", "2", "--output_base", out_base,
+            "--sixd_base", synthetic_sixd, "--seed", "0"])
+        out_dir = annotator.run(args)
+
+        assert os.path.exists(os.path.join(out_dir, "annot_train.h5"))
+        names, bnd, part = read_annot_h5(
+            os.path.join(out_dir, "annot_train.h5"))
+        assert len(names) == 2
+        assert part.shape[1:] == (20, 2)
+        # keypoints live near the GT bbox (the ratio remap targets it)
+        assert np.all(part[:, :, 0] > 100) and np.all(part[:, :, 0] < 500)
+        # train/eval images copied with %012d names
+        assert len(os.listdir(os.path.join(out_dir, "train"))) == 2
+        assert len(os.listdir(os.path.join(out_dir, "eval"))) == 1
+
+    def test_annotation_geometry(self, synthetic_sixd):
+        """Projected keypoints (before the bbox remap) must coincide with
+        direct pinhole projection."""
+        from betapose_tpu.tools.annotator import (annotate_frame,
+                                                  project_points)
+        from betapose_tpu.data import sixd as sixd_mod
+        from betapose_tpu.geometry.model3d import Model3D
+
+        bench = sixd_mod.load_sixd(synthetic_sixd, seq=1)
+        model = Model3D(os.path.join(synthetic_sixd, "models", "obj_01.ply"),
+                        scale=0.001)
+        kpm = Model3D(os.path.join(synthetic_sixd, "kpmodels", "obj_01.ply"),
+                      scale=0.001)
+        name, pose, bb = bench.frames[0].gt[0]
+        bbox_xyxy = [bb[0], bb[1], bb[0] + bb[2], bb[1] + bb[3]]
+        cam = sixd_mod.LINEMOD_CAM_K
+        bbox, kp_img = annotate_frame(pose, bbox_xyxy, model.vertices,
+                                      kpm.vertices, cam)
+        assert kp_img.shape == (len(kpm.vertices), 2)
+        # mask bbox of a fully visible object ~ projected extents, so the
+        # remapped points stay within ~the GT bbox bounds
+        assert kp_img[:, 0].min() > bbox_xyxy[0] - 60
+        assert kp_img[:, 0].max() < bbox_xyxy[2] + 60
