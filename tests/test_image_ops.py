@@ -140,3 +140,21 @@ class TestTransformBoxInvert:
             pt, ul, br, 320, 256, 80, 64))[0, 0]
         # center of box (140, 120) within a couple px
         assert abs(out[0] - 140) < 3 and abs(out[1] - 120) < 3
+
+
+class TestCropBoxMatmul:
+    @pytest.mark.parametrize("box", [
+        (50.0, 40.0, 200.0, 180.0),
+        (10.0, 20.0, 250.0, 90.0),
+        (0.0, 0.0, 100.0, 100.0),
+        (33.3, 41.7, 190.2, 170.9),
+        (250.0, 150.0, 319.0, 239.0),
+    ])
+    def test_matches_gather_version(self, box):
+        rng = np.random.default_rng(7)
+        img = jnp.asarray(rng.random((240, 320, 3)).astype(np.float32))
+        ul = jnp.asarray(box[:2])
+        br = jnp.asarray(box[2:])
+        a = np.asarray(im.crop_box(img, ul, br, 64, 48))
+        b = np.asarray(im.crop_box_matmul(img, ul, br, 64, 48))
+        np.testing.assert_allclose(b, a, rtol=1e-3, atol=1e-4)
