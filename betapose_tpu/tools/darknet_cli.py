@@ -1,0 +1,306 @@
+"""darknet-compatible detector CLI.
+
+Counterpart of the vendored darknet's command surface
+(`train_YOLO/src/darknet.c:351` main -> `detector.c:1225` run_detector):
+
+  python -m betapose_tpu.tools.darknet_cli detector train  <data> <cfg> [weights] [-clear] [-gpus 0,1]
+  python -m betapose_tpu.tools.darknet_cli detector test   <data> <cfg> <weights> <image> [-thresh .24]
+  python -m betapose_tpu.tools.darknet_cli detector valid  <data> <cfg> <weights>
+  python -m betapose_tpu.tools.darknet_cli detector recall <data> <cfg> <weights>
+  python -m betapose_tpu.tools.darknet_cli detector map    <data> <cfg> <weights> [-iou_thresh .25]
+
+.data files are the same key=value format (`option_list.c read_data_cfg`):
+classes/train/valid/names/backup.  .cfg files are stock darknet network
+descriptions; .weights files are byte-compatible with darknet's
+(models/yolov3.py).  `-gpus` maps to the device-mesh data-parallel size.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+
+def read_data_cfg(path):
+    """key=value parser (option_list.c:read_data_cfg)."""
+    opts = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            if "=" in line:
+                k, v = line.split("=", 1)
+                opts[k.strip()] = v.strip()
+    return opts
+
+
+def _load_model(cfg_path, weights_path=None):
+    import jax
+    from betapose_tpu.models import yolov3 as yolo_mod
+    with open(cfg_path) as f:
+        cfg_text = f.read()
+    spec = yolo_mod.build_spec(cfg_text)
+    if weights_path and os.path.exists(weights_path):
+        params, _ = yolo_mod.load_darknet_weights(spec, weights_path)
+        print(f"Loaded weights from {weights_path}")
+    else:
+        params = yolo_mod.init_params(jax.random.PRNGKey(0), spec)
+        if weights_path:
+            print(f"WARNING: weights {weights_path} not found, random init")
+    net = spec.net_info
+    reso = int(net.get("width", 416))
+    return spec, params, reso
+
+
+def _detect_images(spec, params, reso, paths, thresh, nms_thresh=0.45,
+                   batch=16):
+    """Run detection over images; returns per-image list of
+    (x1,y1,x2,y2,score,cls) in original-image pixels (host NMS)."""
+    import jax
+    import jax.numpy as jnp
+    from betapose_tpu.models import yolov3 as yolo_mod
+    from betapose_tpu.data.loader import imread_rgb
+
+    folded = yolo_mod.fold_bn(spec, params)
+
+    @jax.jit
+    def infer(x):
+        return yolo_mod.forward(spec, folded, x.astype(jnp.bfloat16), reso)
+
+    results = []
+    for start in range(0, len(paths), batch):
+        chunk = paths[start:start + batch]
+        imgs, dims = [], []
+        for p in chunk:
+            im = imread_rgb(p)
+            dims.append(im.shape[:2])
+            import cv2
+            imgs.append(cv2.resize(im, (reso, reso)).astype(np.float32) / 255)
+        x = jnp.asarray(np.stack(imgs))
+        preds = np.asarray(infer(x))
+        for bi, (h0, w0) in enumerate(dims):
+            p = preds[bi]
+            obj = p[:, 4]
+            keep = obj > thresh
+            dets = p[keep]
+            if len(dets) == 0:
+                results.append(np.zeros((0, 6)))
+                continue
+            cls_score = dets[:, 5:].max(axis=1) * dets[:, 4]
+            cls_id = dets[:, 5:].argmax(axis=1)
+            boxes = np.stack([
+                (dets[:, 0] - dets[:, 2] / 2) * w0 / reso,
+                (dets[:, 1] - dets[:, 3] / 2) * h0 / reso,
+                (dets[:, 0] + dets[:, 2] / 2) * w0 / reso,
+                (dets[:, 1] + dets[:, 3] / 2) * h0 / reso], axis=1)
+            order = np.argsort(-cls_score)
+            boxes, cls_score, cls_id = boxes[order], cls_score[order], cls_id[order]
+            keep_idx = _greedy_nms(boxes, cls_score, cls_id, nms_thresh)
+            results.append(np.concatenate(
+                [boxes[keep_idx], cls_score[keep_idx, None],
+                 cls_id[keep_idx, None].astype(np.float64)], axis=1))
+    return results
+
+
+def _greedy_nms(boxes, scores, cls_id, thresh):
+    keep = []
+    alive = np.ones(len(boxes), bool)
+    for i in range(len(boxes)):
+        if not alive[i]:
+            continue
+        keep.append(i)
+        for j in range(i + 1, len(boxes)):
+            if alive[j] and cls_id[j] == cls_id[i]:
+                if _iou_xyxy(boxes[i], boxes[j]) > thresh:
+                    alive[j] = False
+    return np.asarray(keep, int)
+
+
+def _iou_xyxy(a, b):
+    x1, y1 = max(a[0], b[0]), max(a[1], b[1])
+    x2, y2 = min(a[2], b[2]), min(a[3], b[3])
+    if x2 <= x1 or y2 <= y1:
+        return 0.0
+    inter = (x2 - x1) * (y2 - y1)
+    ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+    return inter / ua
+
+
+def _load_gt(paths):
+    """Ground truth from sibling .txt label files, in pixels per image."""
+    from betapose_tpu.train.yolo_train import load_darknet_labels
+    import cv2
+    gts = []
+    for p in paths:
+        txt = os.path.splitext(p)[0] + ".txt"
+        if not os.path.exists(txt):
+            txt = p.replace("images", "labels").rsplit(".", 1)[0] + ".txt"
+        im = cv2.imread(p)
+        h0, w0 = im.shape[:2]
+        rows = []
+        if os.path.exists(txt):
+            for ln in open(txt):
+                v = ln.split()
+                if len(v) >= 5:
+                    cls, cx, cy, w, h = (float(t) for t in v[:5])
+                    rows.append([(cx - w / 2) * w0, (cy - h / 2) * h0,
+                                 (cx + w / 2) * w0, (cy + h / 2) * h0, cls])
+        gts.append(np.asarray(rows).reshape(-1, 5))
+    return gts
+
+
+def cmd_map(data, cfg, weights, iou_thresh=0.25, thresh=0.005):
+    """validate_detector_map equivalent (`detector.c:556`): VOC-style AP per
+    class at the given IoU threshold over the valid list."""
+    opts = read_data_cfg(data)
+    paths = [ln.strip() for ln in open(opts["valid"]) if ln.strip()]
+    n_classes = int(opts.get("classes", 1))
+    spec, params, reso = _load_model(cfg, weights)
+    dets = _detect_images(spec, params, reso, paths, thresh)
+    gts = _load_gt(paths)
+
+    aps = []
+    for c in range(n_classes):
+        records = []  # (score, is_tp)
+        n_gt = 0
+        for di, (det, gt) in enumerate(zip(dets, gts)):
+            gt_c = gt[gt[:, 4] == c]
+            n_gt += len(gt_c)
+            used = np.zeros(len(gt_c), bool)
+            det_c = det[det[:, 5] == c]
+            for d in det_c:
+                best, bi = 0.0, -1
+                for gi, g in enumerate(gt_c):
+                    i = _iou_xyxy(d[:4], g[:4])
+                    if i > best:
+                        best, bi = i, gi
+                tp = best > iou_thresh and bi >= 0 and not used[bi]
+                if tp:
+                    used[bi] = True
+                records.append((d[4], tp))
+        if n_gt == 0:
+            continue
+        records.sort(key=lambda r: -r[0])
+        tps = np.cumsum([r[1] for r in records]) if records else np.array([])
+        fps = np.cumsum([not r[1] for r in records]) if records else np.array([])
+        rec = tps / n_gt if len(tps) else np.array([0.0])
+        prec = tps / np.maximum(tps + fps, 1e-12) if len(tps) else np.array([0.0])
+        ap = 0.0
+        for t in np.arange(0, 1.01, 0.1):  # 11-point VOC AP
+            p = prec[rec >= t].max() if np.any(rec >= t) else 0.0
+            ap += p / 11
+        aps.append(ap)
+        print(f"class {c}: ap = {ap * 100:.2f}%")
+    mean_ap = float(np.mean(aps)) if aps else 0.0
+    print(f"mean average precision (mAP@{iou_thresh:.2f}) = {mean_ap:.6f}, "
+          f"or {mean_ap * 100:.2f}%")
+    return mean_ap
+
+
+def cmd_recall(data, cfg, weights, thresh=0.001, iou_thresh=0.5):
+    """validate_detector_recall equivalent (`detector.c:461`): proposals,
+    avg IoU, recall over the valid list."""
+    opts = read_data_cfg(data)
+    paths = [ln.strip() for ln in open(opts["valid"]) if ln.strip()]
+    spec, params, reso = _load_model(cfg, weights)
+    dets = _detect_images(spec, params, reso, paths, thresh)
+    gts = _load_gt(paths)
+    total, correct, proposals, iou_sum = 0, 0, 0, 0.0
+    for i, (det, gt) in enumerate(zip(dets, gts)):
+        proposals += len(det)
+        for g in gt:
+            total += 1
+            best = max((_iou_xyxy(d[:4], g[:4]) for d in det), default=0.0)
+            iou_sum += best
+            if best > iou_thresh:
+                correct += 1
+        print(f"{i:5d} {correct:5d} {total:5d}\tRPs/Img: "
+              f"{proposals / (i + 1):.2f}\tIOU: "
+              f"{iou_sum / max(total, 1) * 100:.2f}%\tRecall:"
+              f"{correct / max(total, 1) * 100:.2f}%")
+    return correct / max(total, 1)
+
+
+def cmd_test(data, cfg, weights, image, thresh=0.24):
+    """test_detector equivalent (`detector.c:1100`): print detections for
+    one image."""
+    opts = read_data_cfg(data)
+    names = []
+    if "names" in opts and os.path.exists(opts["names"]):
+        names = [ln.strip() for ln in open(opts["names"])]
+    spec, params, reso = _load_model(cfg, weights)
+    dets = _detect_images(spec, params, reso, [image], thresh)[0]
+    for d in dets:
+        cname = names[int(d[5])] if int(d[5]) < len(names) else str(int(d[5]))
+        print(f"{cname}: {d[4] * 100:.0f}%  box "
+              f"[{d[0]:.0f}, {d[1]:.0f}, {d[2]:.0f}, {d[3]:.0f}]")
+    return dets
+
+
+def cmd_valid(data, cfg, weights, thresh=0.005):
+    """validate_detector equivalent: dump detections for the valid list in
+    comp4-style text files under results/."""
+    opts = read_data_cfg(data)
+    paths = [ln.strip() for ln in open(opts["valid"]) if ln.strip()]
+    names = ([ln.strip() for ln in open(opts["names"])]
+             if "names" in opts and os.path.exists(opts.get("names", ""))
+             else [str(i) for i in range(int(opts.get("classes", 1)))])
+    spec, params, reso = _load_model(cfg, weights)
+    dets = _detect_images(spec, params, reso, paths, thresh)
+    os.makedirs("results", exist_ok=True)
+    files = {c: open(os.path.join(
+        "results", f"comp4_det_test_{names[c]}.txt"), "w")
+        for c in range(len(names))}
+    for p, det in zip(paths, dets):
+        image_id = os.path.splitext(os.path.basename(p))[0]
+        for d in det:
+            c = int(d[5])
+            files[c].write(f"{image_id} {d[4]:.6f} {d[0] + 1:.6f} "
+                           f"{d[1] + 1:.6f} {d[2] + 1:.6f} {d[3] + 1:.6f}\n")
+    for f in files.values():
+        f.close()
+    print("results/ written")
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if len(argv) < 2 or argv[0] != "detector":
+        print(__doc__)
+        return 1
+    verb = argv[1]
+    pos = [a for a in argv[2:] if not a.startswith("-")]
+    flags = {}
+    i = 0
+    rest = argv[2:]
+    while i < len(rest):
+        if rest[i].startswith("-"):
+            flags[rest[i].lstrip("-")] = rest[i + 1] if i + 1 < len(rest) else ""
+            i += 2
+        else:
+            i += 1
+
+    if verb == "train":
+        from betapose_tpu.train.train_yolo_main import train_from_data_cfg
+        n_dev = len(flags.get("gpus", "0").split(","))
+        return train_from_data_cfg(
+            pos[0], pos[1], pos[2] if len(pos) > 2 else None,
+            clear="clear" in flags, n_devices=n_dev)
+    if verb == "map":
+        return cmd_map(pos[0], pos[1], pos[2],
+                       iou_thresh=float(flags.get("iou_thresh", 0.25)))
+    if verb == "recall":
+        return cmd_recall(pos[0], pos[1], pos[2])
+    if verb == "valid":
+        return cmd_valid(pos[0], pos[1], pos[2])
+    if verb == "test":
+        return cmd_test(pos[0], pos[1], pos[2], pos[3],
+                        thresh=float(flags.get("thresh", 0.24)))
+    print(f"unknown verb {verb}")
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

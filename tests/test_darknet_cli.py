@@ -1,0 +1,178 @@
+"""darknet-compatible CLI tests: .data parsing, data prep from a synthetic
+SIXD tree, a few training iterations end-to-end, map/recall/test verbs."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from betapose_tpu.tools import darknet_cli, yolo_data_prep
+
+cv2 = pytest.importorskip("cv2")
+
+TINY_NET_CFG = """
+[net]
+batch=4
+subdivisions=1
+width=64
+height=64
+channels=3
+momentum=0.9
+decay=0.0005
+learning_rate=0.001
+burn_in=0
+max_batches=3
+policy=steps
+steps=100
+scales=.1
+random=0
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+size=1
+stride=1
+pad=1
+filters=18
+activation=linear
+
+[yolo]
+mask = 0,1,2
+anchors = 10,13,  16,30,  33,23
+classes=1
+num=3
+jitter=.3
+ignore_thresh = .7
+random=0
+"""
+
+
+@pytest.fixture
+def tiny_dataset(tmp_path):
+    """6 images with a bright square at a known box + darknet labels."""
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(6):
+        img = rng.integers(0, 60, (64, 64, 3), dtype=np.uint8)
+        x, y = 16 + 4 * i % 20, 20 + 3 * i % 18
+        img[y:y + 20, x:x + 20] = 220
+        p = str(img_dir / f"{i:04d}.png")
+        cv2.imwrite(p, img)
+        cx, cy, w, h = (x + 10) / 64, (y + 10) / 64, 20 / 64, 20 / 64
+        with open(str(img_dir / f"{i:04d}.txt"), "w") as f:
+            f.write(f"0 {cx} {cy} {w} {h}\n")
+        paths.append(p)
+    lst = tmp_path / "all.txt"
+    with open(lst, "w") as f:
+        f.writelines(p + "\n" for p in paths)
+    names = tmp_path / "obj.names"
+    names.write_text("thing\n")
+    data = tmp_path / "obj.data"
+    data.write_text(
+        f"classes = 1\ntrain = {lst}\nvalid = {lst}\n"
+        f"names = {names}\nbackup = {tmp_path / 'backup'}\n")
+    cfg = tmp_path / "net.cfg"
+    cfg.write_text(TINY_NET_CFG)
+    return {"data": str(data), "cfg": str(cfg), "dir": tmp_path,
+            "paths": paths}
+
+
+class TestDataCfg:
+    def test_read_data_cfg(self, tiny_dataset):
+        opts = darknet_cli.read_data_cfg(tiny_dataset["data"])
+        assert opts["classes"] == "1"
+        assert os.path.exists(opts["train"])
+
+
+class TestTrainVerb:
+    def test_train_snapshot_resume(self, tiny_dataset):
+        from betapose_tpu.train.train_yolo_main import train_from_data_cfg
+        train_from_data_cfg(
+            tiny_dataset["data"], tiny_dataset["cfg"], None,
+            snapshot_every=2, max_batches=3, batch=4, n_devices=1)
+        backup = tiny_dataset["dir"] / "backup"
+        weights = sorted(os.listdir(backup))
+        assert "net_final.weights" in weights
+        assert "net_2.weights" in weights
+        # resume from the snapshot
+        train_from_data_cfg(
+            tiny_dataset["data"], tiny_dataset["cfg"],
+            str(backup / "net_final.weights"),
+            snapshot_every=0, max_batches=3, batch=4, n_devices=1,
+            clear=True)
+
+
+class TestEvalVerbs:
+    def test_map_recall_test(self, tiny_dataset, capsys):
+        # random weights: mAP near 0 but the whole path must run
+        mp = darknet_cli.cmd_map(tiny_dataset["data"], tiny_dataset["cfg"],
+                                 None, iou_thresh=0.25, thresh=0.3)
+        assert 0.0 <= mp <= 1.0
+        rec = darknet_cli.cmd_recall(tiny_dataset["data"],
+                                     tiny_dataset["cfg"], None, thresh=0.3)
+        assert 0.0 <= rec <= 1.0
+        darknet_cli.cmd_test(tiny_dataset["data"], tiny_dataset["cfg"],
+                             None, tiny_dataset["paths"][0], thresh=0.3)
+        darknet_cli.cmd_valid(tiny_dataset["data"], tiny_dataset["cfg"],
+                              None, thresh=0.3)
+
+
+@pytest.fixture
+def synthetic_sixd_test(tmp_path):
+    """Minimal <sixd>/test tree for data prep."""
+    base = tmp_path / "test"
+    for seq in (1, 2):
+        seq_s = "%02d" % seq
+        (base / seq_s / "rgb").mkdir(parents=True)
+        gts = {}
+        for i in range(5):
+            img = np.zeros((480, 640, 3), np.uint8)
+            cv2.imwrite(str(base / seq_s / "rgb" / f"{i:04d}.png"), img)
+            gts[i] = [{"obj_id": seq, "obj_bb": [100, 120, 200, 150],
+                       "cam_R_m2c": [float(v) for v in np.eye(3).reshape(-1)],
+                       "cam_t_m2c": [[0.0], [0.0], [600.0]]}]
+        with open(base / seq_s / "gt.yml", "w") as f:
+            yaml.safe_dump(gts, f)
+    return str(base)
+
+
+class TestDataPrep:
+    def test_single(self, synthetic_sixd_test, tmp_path):
+        out = str(tmp_path / "dk")
+        yolo_data_prep.prep_single(synthetic_sixd_test, out, ratio=1.0)
+        assert os.path.exists(os.path.join(out, "01", "ape.data"))
+        lst = open(os.path.join(out, "01", "all.txt")).read().splitlines()
+        assert len(lst) == 5
+        lab = open(os.path.splitext(lst[0])[0] + ".txt").read().split()
+        assert lab[0] == "0"
+        cx = float(lab[1])
+        assert abs(cx - (100 + 100) / 640) < 1e-6
+
+    def test_multi(self, synthetic_sixd_test, tmp_path):
+        out = str(tmp_path / "dkm")
+        yolo_data_prep.prep_multi(synthetic_sixd_test, out, ratio=1.0)
+        opts = darknet_cli.read_data_cfg(os.path.join(out, "linemod.data"))
+        assert opts["classes"] == "15"
+        lst = open(opts["train"]).read().splitlines()
+        assert len(lst) == 10
+        # class id is obj_id - 1
+        lab2 = [p for p in lst if "/02/" in p or os.sep + "02" + os.sep in p]
+        lab = open(os.path.splitext(lab2[0])[0] + ".txt").read().split()
+        assert lab[0] == "1"
