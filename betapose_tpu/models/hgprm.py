@@ -1,0 +1,385 @@
+"""hgPRM — PyraNet stacked-hourglass with Pyramid Residual Modules, the
+alternative KPD backbone (`--netType hgPRM`).
+
+Functional NHWC reimplementation of `KPD/src/models/hgPRM.py` (PyraNet /
+PyraNet_Inference) and `layers/PRM.py` / `layers/Residual.py`:
+
+- PRM residual: dual-branch conv block — a bottleneck path and a pyramid
+  path (C fractional-scale branches, conv3x3 each, bilinear-upsampled and
+  summed), merged, then 1x1 expand; plus identity/conv skip
+  (`PRM.py:23-111`).
+- Plain preact residual (`Residual.py:14-41`).
+- Hourglass depth 4: upper branch ResidualPyramid (depth>=2) / Residual,
+  lower branch maxpool -> residual -> recurse -> residual -> nearest-up
+  (`hgPRM.py:10-61`).
+- PyraNet: conv7x7/2+bn+relu -> PRM(64->128)+maxpool -> PRM(128->128) ->
+  PRM(128->nFeats); nStack hourglass stages with intermediate supervision
+  (`hgPRM.py:63-145`); inference variant returns only the last head.
+
+torch's stochastic `FractionalMaxPool2d(output_ratio=r)` is realized as a
+deterministic adaptive max-pool to floor(r*H) x floor(r*W) (segment-max
+binning) — deterministic and jit-friendly; the reference's randomized
+pooling grid is an augmentation-flavored detail with no trained checkpoints
+shipping for this backbone.
+
+Defaults match `opt.py`: nFeats=256, nStack=4, baseWidth=9, cardinality=5,
+nResidual=1.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BN_EPS = 1e-5
+
+
+class Static:
+    """Static (non-differentiable) config value living inside a param tree:
+    registered as a pytree node with NO leaves, so jax.grad/optax ignore it."""
+
+    def __init__(self, v):
+        self.v = v
+
+    def __repr__(self):
+        return f"Static({self.v!r})"
+
+
+jax.tree_util.register_pytree_node(
+    Static, lambda s: ((), s.v), lambda aux, _: Static(aux))
+
+
+def _sv(x):
+    """Unwrap a Static or return the raw value (back-compat)."""
+    return x.v if isinstance(x, Static) else x
+
+
+# ---------------------------------------------------------------------------
+# primitive ops (shared conventions with models/kpd.py)
+# ---------------------------------------------------------------------------
+
+def _conv(x, w, b=None, stride=1, pad=0):
+    y = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (stride, stride), ((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def _bn(x, p):
+    scale = p["scale"] / jnp.sqrt(p["var"] + BN_EPS)
+    return (x.astype(jnp.float32) * scale
+            + (p["bias"] - p["mean"] * scale)).astype(x.dtype)
+
+
+def _bn_relu(x, p):
+    return jax.nn.relu(_bn(x, p))
+
+
+def _maxpool2(x):
+    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                 (1, 2, 2, 1), (1, 2, 2, 1),
+                                 "VALID")
+
+
+def adaptive_max_pool(x, out_h: int, out_w: int):
+    """Deterministic adaptive max pool via segment-max binning (NHWC)."""
+    b, h, w, c = x.shape
+    row_bins = (np.arange(h) * out_h) // h
+    col_bins = (np.arange(w) * out_w) // w
+    x = jnp.swapaxes(x, 0, 1)                       # [H,B,W,C]
+    x = jax.ops.segment_max(x, jnp.asarray(row_bins), num_segments=out_h)
+    x = jnp.swapaxes(x, 0, 1)                       # [B,outH,W,C]
+    x = jnp.swapaxes(x, 0, 2)                       # [W,outH,B,C]
+    x = jax.ops.segment_max(x, jnp.asarray(col_bins), num_segments=out_w)
+    return jnp.swapaxes(x, 0, 2)                    # [B,outH,outW,C]
+
+
+def _bilinear_resize_ac(x, out_h: int, out_w: int):
+    """align_corners=True bilinear resize (UpsamplingBilinear2d)."""
+    b, h, w, c = x.shape
+    ys = jnp.arange(out_h) * ((h - 1) / max(out_h - 1, 1))
+    xs = jnp.arange(out_w) * ((w - 1) / max(out_w - 1, 1))
+    rows = jnp.clip(1.0 - jnp.abs(ys[:, None] - jnp.arange(h)[None, :]), 0)
+    cols = jnp.clip(1.0 - jnp.abs(xs[:, None] - jnp.arange(w)[None, :]), 0)
+    with jax.default_matmul_precision("float32"):
+        t = jnp.einsum("ih,bhwc->biwc", rows.astype(x.dtype), x)
+        return jnp.einsum("jw,biwc->bijc", cols.astype(x.dtype), t)
+
+
+def _upsample_nearest2(x):
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+# ---------------------------------------------------------------------------
+# init helpers
+# ---------------------------------------------------------------------------
+
+def _xavier(key, kh, kw, cin, cout, gain=1.0, dtype=jnp.float32):
+    fan_in, fan_out = cin * kh * kw, cout * kh * kw
+    std = gain * math.sqrt(2.0 / (fan_in + fan_out))
+    return jax.random.normal(key, (kh, kw, cin, cout), dtype) * std
+
+
+def _bn_init(c, dtype=jnp.float32):
+    return {"scale": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype),
+            "mean": jnp.zeros((c,), dtype), "var": jnp.ones((c,), dtype)}
+
+
+class _KeyGen:
+    def __init__(self, key):
+        self.key = key
+
+    def __call__(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+
+# ---------------------------------------------------------------------------
+# PRM residual
+# ---------------------------------------------------------------------------
+
+def init_prm_residual(kg, num_in, num_out, net_type="preact",
+                      use_conv=False, base_width=9, cardinality=5,
+                      stride=1):
+    d = max(1, num_out // base_width)
+    p = {"net_type": Static(net_type), "stride": Static(stride), "D": Static(d), "C": Static(cardinality)}
+    half = num_out // 2
+    if net_type != "no_preact":
+        p["pre1"] = _bn_init(num_in)
+        p["pre2"] = _bn_init(num_in)
+    # branch 1: bottleneck
+    p["b1_conv1"] = {"w": _xavier(kg(), 1, 1, num_in, half,
+                                  math.sqrt(1 / 2)),
+                     "b": jnp.zeros((half,))}
+    p["b1_bn"] = _bn_init(half)
+    p["b1_conv2"] = {"w": _xavier(kg(), 3, 3, half, half),
+                     "b": jnp.zeros((half,))}
+    # branch 2: pyramid
+    p["b2_conv1"] = {"w": _xavier(kg(), 1, 1, num_in, d,
+                                  math.sqrt(1 / cardinality)),
+                     "b": jnp.zeros((d,))}
+    p["b2_bn1"] = _bn_init(d)
+    p["pyra"] = [{"w": _xavier(kg(), 3, 3, d, d), "b": jnp.zeros((d,))}
+                 for _ in range(cardinality)]
+    p["b2_bn2"] = _bn_init(d)
+    p["b2_conv2"] = {"w": _xavier(kg(), 1, 1, d, half,
+                                  math.sqrt(1 / cardinality)),
+                     "b": jnp.zeros((half,))}
+    # merge
+    p["m_bn"] = _bn_init(half)
+    p["m_conv"] = {"w": _xavier(kg(), 1, 1, half, num_out, math.sqrt(1 / 2)),
+                   "b": jnp.zeros((num_out,))}
+    # skip
+    if not (num_in == num_out and stride == 1 and not use_conv):
+        p["skip_bn"] = _bn_init(num_in)
+        p["skip_conv"] = {"w": _xavier(kg(), 1, 1, num_in, num_out,
+                                       math.sqrt(1 / 2)),
+                          "b": jnp.zeros((num_out,))}
+    return p
+
+
+def prm_residual(p, x):
+    stride = _sv(p["stride"])
+    c = _sv(p["C"])
+    h, w = x.shape[1] // stride, x.shape[2] // stride
+
+    def preact(x, which):
+        if _sv(p["net_type"]) == "no_preact":
+            return x
+        return _bn_relu(x, p[which])
+
+    # branch 1
+    b1 = preact(x, "pre1")
+    b1 = _conv(b1, p["b1_conv1"]["w"], p["b1_conv1"]["b"])
+    b1 = _bn_relu(b1, p["b1_bn"])
+    b1 = _conv(b1, p["b1_conv2"]["w"], p["b1_conv2"]["b"], stride, 1)
+    # branch 2 (pyramid)
+    b2 = preact(x, "pre2")
+    b2 = _conv(b2, p["b2_conv1"]["w"], p["b2_conv1"]["b"], stride)
+    b2 = _bn_relu(b2, p["b2_bn1"])
+    sc = 2 ** (1 / c)
+    py = None
+    for i, conv in enumerate(p["pyra"]):
+        r = 1 / sc ** (i + 1)
+        th, tw = max(1, int(r * h)), max(1, int(r * w))
+        s = adaptive_max_pool(b2, th, tw)
+        s = _conv(s, conv["w"], conv["b"], 1, 1)
+        s = _bilinear_resize_ac(s, h, w)
+        py = s if py is None else py + s
+    b2 = _bn_relu(py, p["b2_bn2"])
+    b2 = _conv(b2, p["b2_conv2"]["w"], p["b2_conv2"]["b"])
+    # merge
+    m = _bn_relu(b1 + b2, p["m_bn"])
+    m = _conv(m, p["m_conv"]["w"], p["m_conv"]["b"])
+    # skip
+    if "skip_conv" in p:
+        skip = _bn_relu(x, p["skip_bn"])
+        skip = _conv(skip, p["skip_conv"]["w"], p["skip_conv"]["b"], stride)
+    else:
+        skip = x
+    return m + skip
+
+
+def init_plain_residual(kg, num_in, num_out, net_type="preact",
+                        use_conv=False, stride=1):
+    half = num_out // 2
+    p = {"net_type": Static(net_type), "stride": Static(stride), "plain": Static(True)}
+    if net_type != "no_preact":
+        p["pre"] = _bn_init(num_in)
+    p["conv1"] = {"w": _xavier(kg(), 1, 1, num_in, half, math.sqrt(1 / 2)),
+                  "b": jnp.zeros((half,))}
+    p["bn1"] = _bn_init(half)
+    p["conv2"] = {"w": _xavier(kg(), 3, 3, half, half),
+                  "b": jnp.zeros((half,))}
+    p["bn2"] = _bn_init(half)
+    p["conv3"] = {"w": _xavier(kg(), 1, 1, half, num_out),
+                  "b": jnp.zeros((num_out,))}
+    if not (num_in == num_out and stride == 1 and not use_conv):
+        p["skip_bn"] = _bn_init(num_in)
+        p["skip_conv"] = {"w": _xavier(kg(), 1, 1, num_in, num_out,
+                                       math.sqrt(1 / 2)),
+                          "b": jnp.zeros((num_out,))}
+    return p
+
+
+def plain_residual(p, x):
+    stride = _sv(p["stride"])
+    y = x if _sv(p["net_type"]) == "no_preact" else _bn_relu(x, p["pre"])
+    y = _conv(y, p["conv1"]["w"], p["conv1"]["b"])
+    y = _bn_relu(y, p["bn1"])
+    y = _conv(y, p["conv2"]["w"], p["conv2"]["b"], stride, 1)
+    y = _bn_relu(y, p["bn2"])
+    y = _conv(y, p["conv3"]["w"], p["conv3"]["b"])
+    if "skip_conv" in p:
+        skip = _bn_relu(x, p["skip_bn"])
+        skip = _conv(skip, p["skip_conv"]["w"], p["skip_conv"]["b"], stride)
+    else:
+        skip = x
+    return y + skip
+
+
+def _residual_apply(p, x):
+    return plain_residual(p, x) if _sv(p.get("plain")) else prm_residual(p, x)
+
+
+# ---------------------------------------------------------------------------
+# Hourglass
+# ---------------------------------------------------------------------------
+
+def init_hourglass(kg, n, n_feats, n_modules, base_width, cardinality):
+    use_pyra_up = n >= 2
+    use_pyra_down = n >= 3
+
+    def mk(use_pyra):
+        if use_pyra:
+            return [init_prm_residual(kg, n_feats, n_feats,
+                                      base_width=base_width,
+                                      cardinality=cardinality)
+                    for _ in range(n_modules)]
+        return [init_plain_residual(kg, n_feats, n_feats)
+                for _ in range(n_modules)]
+
+    p = {"n": Static(n),
+         "up1": mk(use_pyra_up),
+         "low1": mk(use_pyra_down),
+         "low3": mk(use_pyra_down)}
+    if n > 1:
+        p["low2"] = init_hourglass(kg, n - 1, n_feats, n_modules,
+                                   base_width, cardinality)
+    else:
+        p["low2_res"] = mk(use_pyra_down)
+    return p
+
+
+def hourglass(p, x):
+    up1 = x
+    for r in p["up1"]:
+        up1 = _residual_apply(r, up1)
+    low = _maxpool2(x)
+    for r in p["low1"]:
+        low = _residual_apply(r, low)
+    if "low2" in p:
+        low = hourglass(p["low2"], low)
+    else:
+        for r in p["low2_res"]:
+            low = _residual_apply(r, low)
+    for r in p["low3"]:
+        low = _residual_apply(r, low)
+    low = _upsample_nearest2(low)
+    return up1 + low
+
+
+# ---------------------------------------------------------------------------
+# PyraNet
+# ---------------------------------------------------------------------------
+
+def init_params(key, n_classes: int = 50, n_feats: int = 256,
+                n_stack: int = 4, n_residual: int = 1, base_width: int = 9,
+                cardinality: int = 5):
+    kg = _KeyGen(key)
+    p = {"n_stack": Static(n_stack)}
+    p["conv1"] = {"w": _xavier(kg(), 7, 7, 3, 64, math.sqrt(1 / 3)),
+                  "b": jnp.zeros((64,))}
+    p["bn1"] = _bn_init(64)
+    p["r1"] = init_prm_residual(kg, 64, 128, net_type="no_preact",
+                                base_width=base_width,
+                                cardinality=cardinality)
+    p["r4"] = init_prm_residual(kg, 128, 128, base_width=base_width,
+                                cardinality=cardinality)
+    p["r5"] = init_prm_residual(kg, 128, n_feats, base_width=base_width,
+                                cardinality=cardinality)
+    p["stacks"] = []
+    for i in range(n_stack):
+        st = {
+            "hg": init_hourglass(kg, 4, n_feats, n_residual, base_width,
+                                 cardinality),
+            "lin_bn1": _bn_init(n_feats),
+            "lin_conv": {"w": _xavier(kg(), 1, 1, n_feats, n_feats,
+                                      math.sqrt(1 / 2)),
+                         "b": jnp.zeros((n_feats,))},
+            "lin_bn2": _bn_init(n_feats),
+            "out_conv": {"w": _xavier(kg(), 1, 1, n_feats, n_classes),
+                         "b": jnp.zeros((n_classes,))},
+        }
+        if i < n_stack - 1:
+            st["lin_"] = {"w": _xavier(kg(), 1, 1, n_feats, n_feats),
+                          "b": jnp.zeros((n_feats,))}
+            st["out_"] = {"w": _xavier(kg(), 1, 1, n_classes, n_feats),
+                          "b": jnp.zeros((n_feats,))}
+        p["stacks"].append(st)
+    return p
+
+
+def forward(params, x, all_heads: bool = False):
+    """x: [B,H,W,3].  Returns the final head's heatmaps [B,H/4,W/4,K]
+    (PyraNet_Inference) or all nStack heads (PyraNet, for intermediate
+    supervision) when all_heads=True."""
+    y = _conv(x, params["conv1"]["w"], params["conv1"]["b"], 2, 3)
+    y = _bn_relu(y, params["bn1"])
+    y = prm_residual(params["r1"], y)
+    y = _maxpool2(y)
+    y = prm_residual(params["r4"], y)
+    inter = prm_residual(params["r5"], y)
+
+    outs = []
+    n_stack = _sv(params["n_stack"])
+    for i, st in enumerate(params["stacks"]):
+        lin = hourglass(st["hg"], inter)
+        lin = _bn_relu(lin, st["lin_bn1"])
+        lin = _conv(lin, st["lin_conv"]["w"], st["lin_conv"]["b"])
+        lin = _bn_relu(lin, st["lin_bn2"])
+        out = _conv(lin, st["out_conv"]["w"], st["out_conv"]["b"])
+        outs.append(out)
+        if i < n_stack - 1:
+            lin_ = _conv(lin, st["lin_"]["w"], st["lin_"]["b"])
+            out_ = _conv(out, st["out_"]["w"], st["out_"]["b"])
+            inter = inter + lin_ + out_
+    return outs if all_heads else outs[-1]
