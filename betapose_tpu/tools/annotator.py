@@ -106,6 +106,9 @@ def run(args):
     os.makedirs(kp_dir, exist_ok=True)
 
     print("Running keypoint dataset generator ...")
+    # per-frame keypoint-count log (annotate_keypoint.py:334 writes
+    # kp_dataset_log.txt in cwd; we keep it next to the outputs)
+    log_fout = open(os.path.join(out_base, "kp_dataset_log.txt"), "w")
     cam = sixd_mod.LINEMOD_CAM_K
     model = Model3D(os.path.join(args.sixd_base, "models",
                                  f"obj_{obj_id:02d}.ply"), scale=0.001)
@@ -129,6 +132,7 @@ def run(args):
                 pose, bbox_xyxy, model.vertices, kp_model.vertices, cam)
             np.save(os.path.join(bbox_dir, f"{counter}.npy"), bbox)
             np.save(os.path.join(kp_dir, f"{counter}.npy"), kp_img)
+            log_fout.write(f"{len(kp_img)}\n")
             annos[idx] = (bbox, kp_img)
             counter += 1
 
@@ -166,6 +170,7 @@ def run(args):
             kps.append(kp_img)
         write_annot_h5(os.path.join(out_base, f"annot_{t}.h5"),
                        names, np.stack(bbs), np.stack(kps))
+    log_fout.close()
     print("All done!")
     return out_base
 

@@ -1,0 +1,60 @@
+"""End-to-end CLI integration: run betapose_evaluate.main on a synthetic
+SIXD dataset with small random models — exercises the full flag surface,
+model loading, pipeline, JSON export and metric loop."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+pytest.importorskip("cv2")
+
+from tests._synth import make_synthetic_sixd
+
+
+@pytest.fixture
+def sixd(tmp_path):
+    return make_synthetic_sixd(tmp_path, n_frames=3)
+
+
+class TestEvalCLI:
+    def _run(self, main_fn, sixd, tmp_path, extra=None):
+        out = str(tmp_path / "out")
+        argv = [
+            "--indir", os.path.join(sixd, "test", "01", "rgb"),
+            "--outdir", out,
+            "--obj_id", "1",
+            "--sixd_base", sixd,
+            "--detbatch", "3",
+            # tiny nets for CPU: the CLI builds yolov3 from inp_dim; keep
+            # the standard graph but a small input resolution
+            "--inp_dim", "128",
+            "--nClasses", "50",
+            "--profile",
+        ] + (extra or [])
+        stats = main_fn(argv)
+        return out, stats
+
+    @pytest.mark.slow
+    def test_linemod_eval_cli(self, sixd, tmp_path):
+        from betapose_tpu.eval import betapose_evaluate
+        out, stats = self._run(betapose_evaluate.main, sixd, tmp_path)
+        # random weights -> no meaningful accuracy, but the contract holds:
+        results_file = os.path.join(out, "Betapose-results.json")
+        assert os.path.exists(results_file)
+        data = json.load(open(results_file))
+        assert isinstance(data, list)
+        assert set(stats) >= {"mean_add", "mean_2d_acc", "mean_iou", "fps"}
+
+    @pytest.mark.slow
+    def test_occlusion_eval_cli(self, sixd, tmp_path):
+        # occlusion eval reads GT from seq 02: symlink 01 -> 02
+        src = os.path.join(sixd, "test", "01")
+        dst = os.path.join(sixd, "test", "02")
+        os.symlink(src, dst)
+        from betapose_tpu.eval import occlusion_betapose_evaluate as occ
+        out, stats = self._run(occ.main, sixd, tmp_path,
+                               extra=["--left_keypoints", "10"])
+        assert os.path.exists(os.path.join(out, "Betapose-results.json"))
+        assert set(stats) >= {"mean_add", "mean_2d_acc", "mean_iou"}
