@@ -46,6 +46,8 @@ class PipelineConfig:
     preproc: str = "stretch"        # 'stretch' | 'letterbox'
     target_class: int = 0
     compute_dtype: str = "bfloat16"  # conv-path dtype
+    s2d_stem: bool = True           # exact space-to-depth stem rewrite
+    pnp_iters: int = 12             # LM refinement steps
 
 
 def make_pose_step(yolo_spec, cfg: PipelineConfig):
@@ -62,13 +64,18 @@ def make_pose_step(yolo_spec, cfg: PipelineConfig):
 
         # ---- detection ----
         if cfg.preproc == "stretch":
-            yolo_in = jax.image.resize(
-                imgs, (b, cfg.reso, cfg.reso, 3), method="linear")
+            yolo_in = image_ops.resize_bilinear_matmul(
+                imgs, cfg.reso, cfg.reso)
         else:
             yolo_in = image_ops.letterbox(
                 imgs * 255.0, cfg.reso, cfg.reso) / 255.0
-        dets = yolo_mod.forward(
-            yolo_spec, yolo_params, yolo_in.astype(cdtype), cfg.reso)
+        if cfg.s2d_stem:
+            from betapose_tpu.models.stem_s2d import forward_with_s2d_stem
+            dets = forward_with_s2d_stem(
+                yolo_spec, yolo_params, yolo_in.astype(cdtype), cfg.reso)
+        else:
+            dets = yolo_mod.forward(
+                yolo_spec, yolo_params, yolo_in.astype(cdtype), cfg.reso)
         best = box_ops.best_box(dets, cfg.confidence, cfg.target_class)
         if cfg.preproc == "stretch":
             boxes = box_ops.rescale_boxes(best["boxes"], w0, h0, cfg.reso)
@@ -110,7 +117,8 @@ def make_pose_step(yolo_spec, cfg: PipelineConfig):
 
         # ---- PnP ----
         R, t = jax.vmap(
-            lambda p3, p2: pnp_ops.solve_pnp(p3, p2, cam_K))(
+            lambda p3, p2: pnp_ops.solve_pnp(
+                p3, p2, cam_K, iters=cfg.pnp_iters))(
                 kp3d_sel, kp2d_sel)
 
         return {

@@ -143,6 +143,31 @@ def _bilinear_gather_masked(img, ys, xs, ul, br):
             + wy * ((1 - wx) * get(y1, x0) + wx * get(y1, x1)))
 
 
+def resize_bilinear_matmul(x, out_h: int, out_w: int):
+    """Static-shape separable bilinear resize as two matmuls (MXU-fast,
+    same sampling grid as jax.image.resize 'linear': half-pixel centers).
+    x: [B,H,W,C]."""
+    b, h, w, c = x.shape
+    dtype = x.dtype
+
+    def interp_matrix(src, dst):
+        # half-pixel convention: src_pos = (i + 0.5) * src/dst - 0.5, with
+        # an anti-aliasing triangle kernel widened by the downscale factor
+        # (matches jax.image.resize 'linear')
+        scale = max(src / dst, 1.0)
+        pos = (jnp.arange(dst, dtype=jnp.float32) + 0.5) * (src / dst) - 0.5
+        grid = jnp.arange(src, dtype=jnp.float32)
+        wmat = jnp.clip(1.0 - jnp.abs(pos[:, None] - grid[None, :]) / scale,
+                        0.0)
+        return (wmat / jnp.sum(wmat, axis=1, keepdims=True)).astype(dtype)
+
+    ry = interp_matrix(h, out_h)
+    rx = interp_matrix(w, out_w)
+    with jax.default_matmul_precision("float32"):
+        t = jnp.einsum("ih,bhwc->biwc", ry, x)
+        return jnp.einsum("jw,biwc->bijc", rx, t)
+
+
 def crop_box_matmul(img, ul, br, res_h: int, res_w: int):
     """MXU-friendly equivalent of `crop_box`: the crop's bilinear resampling
     is an axis-aligned scale+translate, hence SEPARABLE — output =

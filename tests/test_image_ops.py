@@ -158,3 +158,13 @@ class TestCropBoxMatmul:
         a = np.asarray(im.crop_box(img, ul, br, 64, 48))
         b = np.asarray(im.crop_box_matmul(img, ul, br, 64, 48))
         np.testing.assert_allclose(b, a, rtol=1e-3, atol=1e-4)
+
+
+class TestResizeMatmul:
+    def test_matches_jax_image_resize(self):
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(rng.random((2, 48, 64, 3)).astype(np.float32))
+        a = np.asarray(im.resize_bilinear_matmul(x, 41, 41))
+        import jax
+        b = np.asarray(jax.image.resize(x, (2, 41, 41, 3), method="linear"))
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
