@@ -68,6 +68,8 @@ def add_train_args(parser):
                         help="image root (default: annot_dir)")
     parser.add_argument("--valid_every", default=5, type=int)
     parser.add_argument("--n_devices", default=None, type=int)
+    parser.add_argument("--exp_root", default="exp", type=str)
+    parser.add_argument("--tb_root", default="tensorboard", type=str)
     return parser
 
 
@@ -75,9 +77,9 @@ def main(argv=None):
     parser = add_train_args(make_parser("Betapose-TPU KPD training"))
     args = parser.parse_args(argv)
 
-    exp_dir = os.path.join("exp", args.dataset, args.expID)
+    exp_dir = os.path.join(args.exp_root, args.dataset, args.expID)
     os.makedirs(exp_dir, exist_ok=True)
-    log = MetricsLogger(os.path.join("tensorboard", args.dataset, args.expID))
+    log = MetricsLogger(os.path.join(args.tb_root, args.dataset, args.expID))
 
     img_dir = args.img_dir or args.annot_dir
     train_ds = KPDTrainDataset(
@@ -91,15 +93,33 @@ def main(argv=None):
         valid_ds = None
 
     n_kp = args.nClasses
-    params = kpd_mod.init_params(jax.random.PRNGKey(0), n_classes=n_kp)
+    arch = args.netType if args.netType in ("resnet50", "resnet101") \
+        else "resnet101"
+    params = kpd_mod.init_params(jax.random.PRNGKey(0), n_classes=n_kp,
+                                 arch=arch)
     start_epoch = args.epoch
     if args.loadModel:
-        params = ckpt.load_kpd_checkpoint(args.loadModel, n_kp)
+        params = ckpt.load_kpd_checkpoint(args.loadModel, n_kp, arch)
         print(f"Loading model from {args.loadModel}")
 
     tx = kpd_train.make_optimizer(args.optMethod, args.LR, args.momentum,
                                   args.weightDecay, params_example=params)
     opt_state = tx.init(params)
+    # --Continue resumes model + optimizer state from the experiment dir
+    # (reference train.py:114-116 / optimizer.pkl snapshots)
+    opt_ckpt = os.path.join(exp_dir, "optimizer.npz")
+    if args.Continue and os.path.exists(opt_ckpt):
+        opt_state = ckpt.load_pytree_npz(opt_ckpt, opt_state)
+        latest = sorted(
+            (f for f in os.listdir(exp_dir)
+             if f.startswith("model_") and f.endswith(".npz")
+             and f.split("_")[1].split(".")[0].isdigit()),
+            key=lambda f: int(f.split("_")[1].split(".")[0]))
+        if latest:
+            params = ckpt.load_kpd_checkpoint(
+                os.path.join(exp_dir, latest[-1]), n_kp, arch)
+            start_epoch = int(latest[-1].split("_")[1].split(".")[0]) + 1
+            print(f"Continuing from epoch {start_epoch}")
     train_step = kpd_train.make_train_step(tx, out_res_h=args.outputResH)
     eval_step = kpd_train.make_eval_step(out_res_h=args.outputResH)
 
@@ -168,6 +188,8 @@ def main(argv=None):
             ckpt.save_pytree_npz(
                 os.path.join(exp_dir, f"model_{epoch}.npz"),
                 jax.device_get(params))
+            ckpt.save_pytree_npz(os.path.join(exp_dir, "optimizer.npz"),
+                                 jax.device_get(opt_state))
             with open(os.path.join(exp_dir, "option.json"), "w") as f:
                 json.dump(vars(args), f, default=str)
     print(f"Best epoch: {best_epoch}, acc {best_acc:.4f}")

@@ -1,0 +1,54 @@
+"""KPD training CLI smoke test on a tiny synthetic dataset."""
+
+import os
+
+import numpy as np
+import pytest
+
+pytest.importorskip("cv2")
+
+from betapose_tpu.data.annot import write_annot_h5
+
+
+@pytest.fixture
+def tiny_kpd_data(tmp_path):
+    import cv2
+    rng = np.random.default_rng(0)
+    root = tmp_path / "data"
+    for split, n in (("train", 6), ("eval", 3)):
+        (root / split).mkdir(parents=True)
+        names, bbs, parts = [], [], []
+        for i in range(n):
+            name = "%012d.png" % i
+            img = rng.integers(0, 255, (120, 160, 3), dtype=np.uint8)
+            cv2.imwrite(str(root / split / name), img)
+            names.append(name)
+            bbs.append(np.array([[30.0, 20.0, 130.0, 100.0]]))
+            parts.append(rng.uniform(40, 95, (4, 2)))
+        write_annot_h5(str(root / f"annot_{split}.h5"), names,
+                       np.stack(bbs), np.stack(parts))
+    return str(root)
+
+
+@pytest.mark.slow
+def test_train_cli_runs_and_resumes(tiny_kpd_data, tmp_path):
+    from betapose_tpu.train import train_kpd_main
+    argv = [
+        "--expID", "t", "--nClasses", "4", "--netType", "resnet50",
+        "--optMethod", "adam", "--trainBatch", "3", "--validBatch", "3",
+        "--nEpochs", "1", "--snapshot", "1", "--valid_every", "1",
+        "--inputResH", "64", "--inputResW", "32",
+        "--outputResH", "16", "--outputResW", "8",
+        "--annot_dir", tiny_kpd_data, "--img_dir", tiny_kpd_data,
+        "--exp_root", str(tmp_path / "exp"),
+        "--tb_root", str(tmp_path / "tb"),
+        "--n_devices", "1",
+    ]
+    train_kpd_main.main(argv)
+    exp_dir = tmp_path / "exp" / "coco" / "t"
+    assert (exp_dir / "model_0.npz").exists()
+    assert (exp_dir / "optimizer.npz").exists()
+    assert (exp_dir / "model_final.npz").exists()
+    assert (tmp_path / "tb" / "coco" / "t" / "metrics.jsonl").exists()
+    # resume via --Continue
+    train_kpd_main.main(argv + ["--Continue", "1", "--nEpochs", "2"])
