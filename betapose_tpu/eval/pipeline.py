@@ -48,6 +48,7 @@ class PipelineConfig:
     compute_dtype: str = "bfloat16"  # conv-path dtype
     s2d_stem: bool = True           # exact space-to-depth stem rewrite
     pnp_iters: int = 12             # LM refinement steps
+    pallas_decode: bool | None = None  # None = auto (TPU backend only)
 
 
 def make_pose_step(yolo_spec, cfg: PipelineConfig):
@@ -95,8 +96,12 @@ def make_pose_step(yolo_spec, cfg: PipelineConfig):
         hm = hm_nhwc.astype(jnp.float32).transpose(0, 3, 1, 2)  # [B,K,H,W]
 
         # ---- decode + pose scoring ----
+        use_pallas = cfg.pallas_decode
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
         preds_hm, preds_img, maxval = hm_ops.decode_heatmaps(
-            hm, pt1, pt2, cfg.inp_h, cfg.inp_w, cfg.out_h, cfg.out_w)
+            hm, pt1, pt2, cfg.inp_h, cfg.inp_w, cfg.out_h, cfg.out_w,
+            use_pallas=use_pallas)
 
         def nms_one(box, obj_score, kp, sc):
             return pnms.pose_nms_single(box, obj_score, kp, sc)

@@ -60,12 +60,22 @@ def draw_gaussian_batch(pts, res_h: int, res_w: int, sigma: float = 1):
 
 
 def decode_heatmaps(hms, pt1, pt2, inp_h: int, inp_w: int,
-                    res_h: int, res_w: int):
+                    res_h: int, res_w: int, use_pallas: bool = False):
     """Vectorized `getPrediction` (`KPD/src/utils/eval.py:113-147`).
 
     hms: [n, K, H, W]; pt1/pt2: [n, 2] crop corners (float).
     Returns (preds [n,K,2] heatmap coords, preds_img [n,K,2] image coords,
-    maxval [n,K,1])."""
+    maxval [n,K,1]).  use_pallas=True routes the peak stage through the
+    fused single-VMEM-pass TPU kernel (ops/pallas/heatmap_decode.py;
+    bit-identical output)."""
+    if use_pallas:
+        from betapose_tpu.ops.pallas.heatmap_decode import decode_peaks
+        out = decode_peaks(hms)
+        preds = out[..., :2]
+        maxval = out[..., 2:3]
+        preds_img = transform_box_invert_batch(
+            preds, pt1, pt2, inp_h, inp_w, res_h, res_w)
+        return preds, preds_img, maxval
     n, k, h, w = hms.shape
     flat = hms.reshape(n, k, h * w)
     maxval = jnp.max(flat, axis=2)
