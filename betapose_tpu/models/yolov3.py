@@ -172,7 +172,8 @@ def fold_bn(spec: NetworkSpec, params):
 # darknet .weights IO
 # ---------------------------------------------------------------------------
 
-def load_darknet_weights(spec: NetworkSpec, path, dtype=jnp.float32):
+def load_darknet_weights(spec: NetworkSpec, path, dtype=jnp.float32,
+                         allow_partial: bool = True, init_key=None):
     """Read a darknet .weights file into the params pytree.
 
     Byte layout per `yolo/darknet.py:365-432` / `parser.c:962-1019`:
@@ -180,40 +181,82 @@ def load_darknet_weights(spec: NetworkSpec, path, dtype=jnp.float32):
     for each conv layer (in cfg order): if batch_normalize:
     [bias(beta), scale(gamma), running_mean, running_var] each of len C_out,
     else [conv_bias]; then conv weights, C_out*C_in*k*k floats in OIHW order.
+
+    allow_partial: darknet semantics — a truncated file (e.g. a pretrained
+    backbone like darknet53.conv.74) fills the leading layers and leaves the
+    rest at their initialization (`parser.c load_weights` stops at EOF).
     """
     with open(path, "rb") as f:
         header = np.fromfile(f, dtype=np.int32, count=4)
         stream = np.fromfile(f, dtype=np.float32)
+    init = init_params(init_key if init_key is not None
+                       else jax.random.PRNGKey(0), spec, dtype)
     params = []
     ptr = 0
+    exhausted = False
 
     def take(n):
-        nonlocal ptr
+        nonlocal ptr, exhausted
         out = stream[ptr:ptr + n]
         if len(out) != n:
+            if allow_partial:
+                exhausted = True
+                return None
             raise ValueError(f"weights file too short at offset {ptr}")
         ptr += n
         return out
 
-    for l in spec.layers:
+    for li, l in enumerate(spec.layers):
         if l.kind != "conv":
             params.append({})
             continue
+        if exhausted:
+            params.append(init[li])
+            continue
         c = l.out_channels
         p = {}
+        vals = {}
+        ok = True
         if l.batch_normalize:
-            p["bn_bias"] = jnp.asarray(take(c), dtype)
-            p["bn_scale"] = jnp.asarray(take(c), dtype)
-            p["bn_mean"] = jnp.asarray(take(c), dtype)
-            p["bn_var"] = jnp.asarray(take(c), dtype)
+            for k in ("bn_bias", "bn_scale", "bn_mean", "bn_var"):
+                v = take(c)
+                if v is None:
+                    ok = False
+                    break
+                vals[k] = v
         else:
-            p["b"] = jnp.asarray(take(c), dtype)
-        n_w = c * l.in_channels * l.size * l.size
-        w_oihw = take(n_w).reshape(c, l.in_channels, l.size, l.size)
-        # OIHW -> HWIO
-        p["w"] = jnp.asarray(np.transpose(w_oihw, (2, 3, 1, 0)), dtype)
+            v = take(c)
+            if v is None:
+                ok = False
+            else:
+                vals["b"] = v
+        if ok:
+            n_w = c * l.in_channels * l.size * l.size
+            w = take(n_w)
+            if w is None:
+                ok = False
+            else:
+                vals["w_oihw"] = w.reshape(c, l.in_channels, l.size, l.size)
+        if not ok:
+            params.append(init[li])
+            continue
+        for k, v in vals.items():
+            if k == "w_oihw":
+                p["w"] = jnp.asarray(np.transpose(v, (2, 3, 1, 0)), dtype)
+            else:
+                p[k] = jnp.asarray(v, dtype)
         params.append(p)
     return params, header
+
+
+def save_partial_weights(spec: NetworkSpec, params, path, cutoff: int,
+                         seen: int = 0):
+    """darknet's weight surgery `partial` (`darknet.c` partial()): write only
+    the first `cutoff` layers' weights — e.g. extracting a pretrained
+    backbone (darknet53.conv.74 has cutoff 74)."""
+    sub_layers = spec.layers[:cutoff]
+    sub_spec = NetworkSpec(tuple(sub_layers), spec.cache_idxs, spec.net_info)
+    save_darknet_weights(sub_spec, params[:cutoff], path, seen)
 
 
 def save_darknet_weights(spec: NetworkSpec, params, path, seen: int = 0):

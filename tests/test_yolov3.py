@@ -213,3 +213,37 @@ class TestDecode:
         golden[..., 5:] = sig(x[..., 5:])
         golden = golden.reshape(2, na * gs * gs, 5 + nc)
         np.testing.assert_allclose(out, golden, rtol=1e-4, atol=1e-5)
+
+
+class TestPartialWeights:
+    def test_backbone_extraction_and_partial_load(self, tmp_path):
+        """save_partial_weights + allow_partial load = darknet's pretrained
+        backbone workflow (darknet53.conv.74 / train_all.sh)."""
+        spec = yolov3.build_spec(TINY_CFG)
+        params = yolov3.init_params(jax.random.PRNGKey(7), spec)
+        path = str(tmp_path / "backbone.weights")
+        # keep only the first 3 layers
+        yolov3.save_partial_weights(spec, params, path, cutoff=3)
+        loaded, _ = yolov3.load_darknet_weights(
+            spec, path, init_key=jax.random.PRNGKey(99))
+        for i in range(3):
+            if spec.layers[i].kind != "conv":
+                continue
+            np.testing.assert_allclose(np.asarray(loaded[i]["w"]),
+                                       np.asarray(params[i]["w"]), rtol=1e-6)
+        # the remaining conv layers come from the init_key init (not the
+        # original params)
+        later = [i for i in range(3, len(spec.layers))
+                 if spec.layers[i].kind == "conv"]
+        assert later
+        i = later[0]
+        assert not np.allclose(np.asarray(loaded[i]["w"]),
+                               np.asarray(params[i]["w"]))
+
+    def test_strict_mode_raises(self, tmp_path):
+        spec = yolov3.build_spec(TINY_CFG)
+        params = yolov3.init_params(jax.random.PRNGKey(7), spec)
+        path = str(tmp_path / "backbone.weights")
+        yolov3.save_partial_weights(spec, params, path, cutoff=2)
+        with pytest.raises(ValueError):
+            yolov3.load_darknet_weights(spec, path, allow_partial=False)
