@@ -48,3 +48,22 @@ def device_trace(logdir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+class DataLogger:
+    """Running-average meter (reference `KPD/src/utils/eval.py:9-26`)."""
+
+    def __init__(self):
+        self.clear()
+
+    def clear(self):
+        self.value = 0.0
+        self.sum = 0.0
+        self.cnt = 0
+        self.avg = 0.0
+
+    def update(self, value, n=1):
+        self.value = value
+        self.sum += value * n
+        self.cnt += n
+        self.avg = self.sum / self.cnt

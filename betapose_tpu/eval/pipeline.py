@@ -161,10 +161,22 @@ class PosePipeline:
         self._step = jax.jit(make_pose_step(self.spec, self.cfg))
 
     def __call__(self, frames_u8: np.ndarray):
-        """frames_u8: [B, H, W, 3] RGB uint8. Returns dict of host arrays."""
-        out = self._step(self.yolo_params, self.kpd_params,
-                         jnp.asarray(frames_u8), self.kp3d, self.cam_K)
-        return out
+        """frames_u8: [B, H, W, 3] RGB uint8. Returns dict of host arrays.
+
+        On RESOURCE_EXHAUSTED the batch is split in half and retried — the
+        TPU analog of the reference's CUDA-OOM fallback
+        (`train_KPD/src/evaluation.py:95-106`)."""
+        try:
+            return self._step(self.yolo_params, self.kpd_params,
+                              jnp.asarray(frames_u8), self.kp3d, self.cam_K)
+        except Exception as e:  # jaxlib.XlaRuntimeError has no stable type
+            if "RESOURCE_EXHAUSTED" not in str(e) or len(frames_u8) < 2:
+                raise
+            half = len(frames_u8) // 2
+            out1 = self(frames_u8[:half])
+            out2 = self(frames_u8[half:])
+            return {k: jnp.concatenate([out1[k], out2[k]], axis=0)
+                    for k in out1}
 
     def run_batches(self, frame_iter, progress=None):
         """Run over an iterator of uint8 frame batches with software

@@ -29,8 +29,11 @@ ALPHA = 0.1
 KP_OFFSET = -0.3
 
 
-def _parametric_distance(pick, preds, scores, ref_dist):
-    """`get_parametric_distance` (`pPose_nms.py:244-268`)."""
+def _parametric_distance(pick, preds, scores, ref_dist, delta2=DELTA2):
+    """`get_parametric_distance` (`pPose_nms.py:244-268`).  delta2 defaults
+    to the eval-path constant 2.65; the trainer-side variant
+    (`train_KPD/src/predict/p_poseNMS.py`) uses 1.3 — pass it through
+    `pose_nms(..., delta2=1.3)` for that behavior."""
     pick_preds = preds[pick]            # [K,2]
     pred_scores = scores[pick][:, 0]    # [K]
     dist = np.sqrt(np.sum((pick_preds[None] - preds) ** 2, axis=2))  # [n,K]
@@ -41,7 +44,7 @@ def _parametric_distance(pick, preds, scores, ref_dist):
     ps = np.broadcast_to(pred_scores[None, :], sc.shape)
     score_dists[mask] = (np.tanh(ps[mask] / DELTA1)
                          * np.tanh(sc[mask] / DELTA1))
-    point_dist = np.exp(-dist / DELTA2)
+    point_dist = np.exp(-dist / delta2)
     return score_dists.sum(axis=1) + MU * point_dist.sum(axis=1)
 
 
@@ -68,7 +71,7 @@ def _merge_fast(ref_pose, cluster_preds, cluster_scores, ref_dist):
     return final_pose, final_score
 
 
-def pose_nms(bboxes, bbox_scores, pose_preds, pose_scores):
+def pose_nms(bboxes, bbox_scores, pose_preds, pose_scores, delta2=DELTA2):
     """Parametric pose NMS (`pPose_nms.py:24-122`).
 
     bboxes (n,4) xyxy; bbox_scores (n,); pose_preds (n,K,2);
@@ -101,7 +104,7 @@ def pose_nms(bboxes, bbox_scores, pose_preds, pose_scores):
         pick_id = int(np.argmax(human_scores))
         pick.append(human_ids[pick_id])
         ref_dist = ref_dists[human_ids[pick_id]]
-        simi = _parametric_distance(pick_id, preds, scores, ref_dist)
+        simi = _parametric_distance(pick_id, preds, scores, ref_dist, delta2)
         n_match = _pck_match(preds[pick_id], preds, ref_dist)
         delete_ids = np.arange(human_scores.shape[0])[
             (simi > GAMMA) | (n_match >= MATCH_THRESH)]

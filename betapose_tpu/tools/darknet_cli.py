@@ -8,6 +8,7 @@ Counterpart of the vendored darknet's command surface
   python -m betapose_tpu.tools.darknet_cli detector valid  <data> <cfg> <weights>
   python -m betapose_tpu.tools.darknet_cli detector recall <data> <cfg> <weights>
   python -m betapose_tpu.tools.darknet_cli detector map    <data> <cfg> <weights> [-iou_thresh .25]
+  python -m betapose_tpu.tools.darknet_cli partial <cfg> <weights> <out> <cutoff>
 
 .data files are the same key=value format (`option_list.c read_data_cfg`):
 classes/train/valid/names/backup.  .cfg files are stock darknet network
@@ -265,8 +266,19 @@ def cmd_valid(data, cfg, weights, thresh=0.005):
     print("results/ written")
 
 
+def cmd_partial(cfg, weights, out, cutoff: int):
+    """darknet weight surgery `partial` (darknet.c): write the first
+    `cutoff` layers to a new .weights file (backbone extraction)."""
+    from betapose_tpu.models import yolov3 as yolo_mod
+    spec, params, _ = _load_model(cfg, weights)
+    yolo_mod.save_partial_weights(spec, params, out, int(cutoff))
+    print(f"Saved first {cutoff} layers to {out}")
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "partial":
+        return cmd_partial(argv[1], argv[2], argv[3], int(argv[4]))
     if len(argv) < 2 or argv[0] != "detector":
         print(__doc__)
         return 1
