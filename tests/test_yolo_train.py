@@ -2,6 +2,7 @@
 augmentation, end-to-end step on a tiny net."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -158,3 +159,56 @@ class TestAugment:
         assert out.shape == (2, 32, 48, 3)
         assert tr.shape == (2, 3, 5)
         assert np.all(np.asarray(out) >= 0) and np.all(np.asarray(out) <= 1)
+
+
+@pytest.mark.slow
+class TestConvergence:
+    def test_overfit_regresses_boxes_at_gt_cells(self):
+        """300 training steps on 6 synthetic scenes: the assigned
+        anchor/cell must regress its box onto the GT (IoU > 0.5) — proves
+        the loss/optimizer actually learn, without depending on the toy
+        net's (slow) objectness calibration."""
+        import pytest as _pytest
+        spec = yolo_mod.build_spec(TINY_CFG)
+        params = yolo_mod.init_params(jax.random.PRNGKey(0), spec)
+        cfg = yolo_train.YoloTrainConfig(lr=2e-3, burn_in=0,
+                                         steps=(10 ** 6,), scales=(0.1,))
+        tx = yolo_train.make_optimizer(cfg)
+        opt_state = tx.init(params)
+        step = yolo_train.make_train_step(spec, tx, 64, 64, donate=False)
+        rng = np.random.default_rng(0)
+        imgs_np = np.zeros((6, 64, 64, 3), np.float32)
+        truths = np.zeros((6, 10, 5), np.float32)
+        for i in range(6):
+            img = rng.integers(0, 60, (64, 64, 3)).astype(np.float32)
+            x, y = 16 + 4 * i % 20, 20 + 3 * i % 18
+            img[y:y + 20, x:x + 20] = 220
+            imgs_np[i] = img / 255.0
+            truths[i, 0] = [(x + 10) / 64, (y + 10) / 64, 20 / 64, 20 / 64, 0]
+        imgs = jnp.asarray(imgs_np)
+        truths_j = jnp.asarray(truths)
+        for _ in range(300):
+            params, opt_state, m = step(params, opt_state, imgs, truths_j)
+        assert float(m["head0/avg_iou"]) > 0.7, float(m["head0/avg_iou"])
+
+        # eval-path decode agrees: box at the assigned cell/anchor overlaps GT
+        dets = np.asarray(yolo_mod.forward(
+            spec, yolo_mod.fold_bn(spec, params), imgs, 64))
+        from betapose_tpu.ops.boxes import bbox_iou
+        gs = 16
+        hits = 0
+        for i in range(6):
+            gx = int(truths[i, 0, 0] * gs)
+            gy = int(truths[i, 0, 1] * gs)
+            gt = truths[i, 0, :4] * 64
+            gt_xyxy = np.array([gt[0] - gt[2] / 2, gt[1] - gt[3] / 2,
+                                gt[0] + gt[2] / 2, gt[1] + gt[3] / 2])
+            for a in range(3):
+                d = dets[i, a * gs * gs + gy * gs + gx]
+                box = np.array([d[0] - d[2] / 2, d[1] - d[3] / 2,
+                                d[0] + d[2] / 2, d[1] + d[3] / 2])
+                if float(bbox_iou(jnp.asarray(box),
+                                  jnp.asarray(gt_xyxy))) > 0.5:
+                    hits += 1
+                    break
+        assert hits >= 5, hits
