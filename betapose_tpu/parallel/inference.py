@@ -1,0 +1,41 @@
+"""Multi-chip inference: shard the fused pose pipeline over a device mesh.
+
+Serving-scale path (BASELINE.md's v5e-8 target): frames are sharded on the
+mesh 'data' axis, weights replicated — each chip runs the full fused graph
+on its slice with zero cross-chip communication (embarrassingly parallel,
+so throughput scales linearly with chips over ICI-attached hosts).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from betapose_tpu.parallel import mesh as mesh_mod
+from betapose_tpu.eval.pipeline import make_pose_step, PipelineConfig
+
+
+class ShardedPosePipeline:
+    """PosePipeline equivalent whose batches are sharded over a mesh.
+
+    The global batch must be divisible by the mesh's 'data' size."""
+
+    def __init__(self, spec, yolo_params, kpd_params, kp3d, cam_K,
+                 cfg: PipelineConfig | None = None, mesh=None,
+                 n_devices=None):
+        self.cfg = cfg or PipelineConfig()
+        self.mesh = mesh or mesh_mod.make_mesh(n_devices)
+        self.spec = spec
+        self.yolo_params = mesh_mod.replicate(self.mesh, yolo_params)
+        self.kpd_params = mesh_mod.replicate(self.mesh, kpd_params)
+        self.kp3d = mesh_mod.replicate(self.mesh,
+                                       jnp.asarray(kp3d, jnp.float32))
+        self.cam_K = mesh_mod.replicate(self.mesh,
+                                        jnp.asarray(cam_K, jnp.float32))
+        step = make_pose_step(spec, self.cfg)
+        self._step = jax.jit(step)
+
+    def __call__(self, frames_u8):
+        frames = mesh_mod.shard_batch(self.mesh, jnp.asarray(frames_u8))
+        return self._step(self.yolo_params, self.kpd_params, frames,
+                          self.kp3d, self.cam_K)
