@@ -92,6 +92,8 @@ def make_pose_step(yolo_spec, cfg: PipelineConfig):
         crops, pt1, pt2 = jax.vmap(crop_one)(imgs, boxes)
 
         # ---- keypoint heatmaps ----
+        # (KPD's 7x7/2 stem measured no faster via s2d — XLA already
+        # handles it; the transform stays available in models/kpd.py)
         hm_nhwc = kpd_mod.forward(kpd_params, crops.astype(cdtype))
         hm = hm_nhwc.astype(jnp.float32).transpose(0, 3, 1, 2)  # [B,K,H,W]
 

@@ -187,15 +187,21 @@ def _duc(x, p, train=False, stats=None, path=""):
     return pixel_shuffle(x, 2)
 
 
-def forward(params, x, train=False, bn_stats=None):
+def forward(params, x, train=False, bn_stats=None, s2d_stem=False):
     """x: [B, H, W, 3] normalized RGB. Returns [B, H/4, W/4, K] heatmaps.
 
     train=True normalizes with batch statistics; pass a dict as `bn_stats`
     to collect (batch_mean, unbiased_var) per BN path for running-stat
-    updates (see `apply_bn_updates`)."""
+    updates (see `apply_bn_updates`).  s2d_stem=True computes the 7x7/2
+    stem conv exactly via space-to-depth (models/stem_s2d.py) — the 3-input-
+    channel full-res conv is MXU-starved otherwise."""
     st = bn_stats
-    x = jax.nn.relu(_bn(_conv(x, params["conv1"]["w"], 2, 3), params["bn1"],
-                        train, st, "bn1"))
+    if s2d_stem:
+        from betapose_tpu.models.stem_s2d import conv_stride2_via_s2d
+        y1 = conv_stride2_via_s2d(x, params["conv1"]["w"])
+    else:
+        y1 = _conv(x, params["conv1"]["w"], 2, 3)
+    x = jax.nn.relu(_bn(y1, params["bn1"], train, st, "bn1"))
     x = _maxpool_3x3_s2_p1(x)
     for li in range(1, 5):
         stride = 1 if li == 1 else 2

@@ -81,6 +81,43 @@ def pack_conv2_weights(w):
     return out
 
 
+def pack_stride2_conv_weights(w):
+    """[k,k,Cin,Cout] stride-2 'same'-padded conv (odd k) -> s2d-domain
+    stride-1 conv [k2,k2,4*Cin,Cout] with asymmetric padding.
+
+    For output (i,j): input row y = 2i - k//2 + ky = 2(i+d) + q with
+    d = floor((ky - k//2)/2), q = (ky - k//2) mod 2.  Returns
+    (packed_w, (pad_before, pad_after)) where pad_before = -d_min,
+    pad_after = d_max in s2d pixels."""
+    kh, kw, cin, cout = w.shape
+    assert kh == kw and kh % 2 == 1
+    half = kh // 2
+    ds = [int(np.floor((ky - half) / 2)) for ky in range(kh)]
+    d_min, d_max = min(ds), max(ds)
+    k2 = d_max - d_min + 1
+    out = jnp.zeros((k2, k2, 4 * cin, cout), w.dtype)
+    for ky in range(kh):
+        dy, qy = divmod(ky - half, 2)
+        for kx in range(kw):
+            dx, qx = divmod(kx - half, 2)
+            ci = (qy * 2 + qx) * cin
+            out = out.at[dy - d_min, dx - d_min,
+                         ci:ci + cin].add(w[ky, kx])
+    return out, (-d_min, d_max)
+
+
+def conv_stride2_via_s2d(x, w):
+    """Exact stride-2 'same' conv via space-to-depth + stride-1 conv.
+    x: [B,H,W,Cin] (H, W even); w: [k,k,Cin,Cout] (odd k).  Used for
+    MXU-starved stems (e.g. KPD's 7x7/2 conv on 3 input channels)."""
+    packed, (pb, pa) = pack_stride2_conv_weights(w)
+    xp = space_to_depth2(x)
+    return jax.lax.conv_general_dilated(
+        xp, packed.astype(x.dtype), (1, 1), ((pb, pa), (pb, pa)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+
+
 def stem_applicable(spec):
     """True when layers 0/1 are the darknet-53 stem pattern and layer 0's
     output is never referenced by a route/shortcut."""

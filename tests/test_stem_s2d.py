@@ -75,3 +75,41 @@ class TestStemS2D:
         np.testing.assert_allclose(out[:, :, 0], [[0, 2], [8, 10]])
         # channel 3 = phase (1,1)
         np.testing.assert_allclose(out[:, :, 3], [[5, 7], [13, 15]])
+
+
+class TestStride2S2D:
+    def test_conv7_stride2_exact(self):
+        """s2d-domain 4x4/1 conv == 7x7/2 'same' conv, float-exact."""
+        from betapose_tpu.models.stem_s2d import conv_stride2_via_s2d
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, 32, 48, 3)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((7, 7, 3, 8)).astype(np.float32) * 0.1)
+        ref = jax.lax.conv_general_dilated(
+            x, w, (2, 2), ((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        fast = conv_stride2_via_s2d(x, w)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_conv3_stride2_exact(self):
+        from betapose_tpu.models.stem_s2d import conv_stride2_via_s2d
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((1, 16, 16, 4)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((3, 3, 4, 6)).astype(np.float32))
+        ref = jax.lax.conv_general_dilated(
+            x, w, (2, 2), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        fast = conv_stride2_via_s2d(x, w)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_kpd_forward_s2d_stem_equivalence(self):
+        from betapose_tpu.models import kpd as kpd_mod
+        params = kpd_mod.init_params(jax.random.PRNGKey(0), n_classes=4,
+                                     arch="resnet50")
+        x = jnp.asarray(np.random.default_rng(2).standard_normal(
+            (1, 64, 32, 3)).astype(np.float32))
+        a = kpd_mod.forward(params, x)
+        b = kpd_mod.forward(params, x, s2d_stem=True)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-4)
