@@ -251,6 +251,39 @@ def apply_bn_updates(params, bn_stats, momentum: float = 0.1):
     return new
 
 
+def fold_bn(params):
+    """Fold BN running stats into conv weights for inference (same tree
+    structure: the BN dicts become identity transforms carrying the folded
+    bias, so `forward` needs no changes).  Do NOT train on folded params."""
+    import copy
+
+    def fold_pair(conv, bn):
+        scale = bn["scale"] / jnp.sqrt(bn["var"] + BN_EPS)
+        new_conv = dict(conv)
+        new_conv["w"] = conv["w"] * scale[None, None, None, :]
+        new_bn = {"scale": jnp.ones_like(bn["scale"]),
+                  "bias": bn["bias"] - bn["mean"] * scale,
+                  "mean": jnp.zeros_like(bn["mean"]),
+                  "var": jnp.ones_like(bn["var"]) - BN_EPS}
+        return new_conv, new_bn
+
+    p = copy.deepcopy(jax.device_get(params))
+    p = jax.tree_util.tree_map(jnp.asarray, p)
+    p["conv1"], p["bn1"] = fold_pair(p["conv1"], p["bn1"])
+    for li in range(1, 5):
+        for blk in p[f"layer{li}"]:
+            for ci in (1, 2, 3):
+                blk[f"conv{ci}"], blk[f"bn{ci}"] = fold_pair(
+                    blk[f"conv{ci}"], blk[f"bn{ci}"])
+            if "downsample" in blk:
+                blk["downsample"]["conv"], blk["downsample"]["bn"] = \
+                    fold_pair(blk["downsample"]["conv"],
+                              blk["downsample"]["bn"])
+    for d in ("duc1", "duc2"):
+        p[d]["conv"], p[d]["bn"] = fold_pair(p[d]["conv"], p[d]["bn"])
+    return p
+
+
 # ---------------------------------------------------------------------------
 # Torch checkpoint conversion (KPD .pkl state_dicts,
 # KPD/src/main_fast_inference.py:38-41)

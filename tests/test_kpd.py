@@ -121,3 +121,32 @@ class TestStateDictConversion:
             np.testing.assert_allclose(
                 np.asarray(leaf), np.asarray(flat2[key]), rtol=1e-6,
                 err_msg=key)
+
+
+class TestFoldBN:
+    def test_fold_equivalence(self):
+        params = kpd.init_params(jax.random.PRNGKey(5), n_classes=4,
+                                 arch="resnet50")
+        # randomize BN stats so folding is non-trivial
+        def jiggle(tree, key):
+            flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+            out = []
+            for path, leaf in flat:
+                keys = [getattr(p, "key", None) for p in path]
+                key, k = jax.random.split(key)
+                if keys and keys[-1] in ("mean",):
+                    leaf = jax.random.normal(k, leaf.shape) * 0.1
+                elif keys and keys[-1] in ("var",):
+                    leaf = jnp.abs(jax.random.normal(k, leaf.shape)) + 0.5
+                elif keys and keys[-1] in ("scale",):
+                    leaf = 1.0 + jax.random.normal(k, leaf.shape) * 0.1
+                out.append(leaf)
+            return jax.tree_util.tree_unflatten(treedef, out)
+
+        params = jiggle(params, jax.random.PRNGKey(6))
+        x = jnp.asarray(np.random.default_rng(7).standard_normal(
+            (1, 64, 32, 3)).astype(np.float32))
+        a = np.asarray(kpd.forward(params, x))
+        b = np.asarray(kpd.forward(kpd.fold_bn(params), x))
+        scale = np.abs(a).max()
+        np.testing.assert_allclose(b / scale, a / scale, atol=1e-4)
