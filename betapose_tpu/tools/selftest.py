@@ -1,0 +1,260 @@
+"""Full-system self-test: synthetic scenes -> annotate -> train YOLO + KPD
+-> fused pipeline -> pose metrics.
+
+Exercises every stage of the framework end-to-end with no external data:
+1. render a colored cube at random poses into LineMod-sized frames
+   (geometry/renderer.py);
+2. designate keypoints (cube surface points) and annotate 2D labels via the
+   annotator math;
+3. train a small YOLO on the rendered frames (darknet-semantics loss) and a
+   FastPose-resnet50 KPD on the crops (masked-MSE, on-device augmentation);
+4. run the fused detect->crop->KPD->decode->PnP pipeline on held-out frames
+   and report ADD / 2D keypoint error vs the known ground-truth poses.
+
+Run: python -m betapose_tpu.tools.selftest [--frames 60] [--iters 300]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from betapose_tpu.data import sixd as sixd_mod
+from betapose_tpu.geometry.renderer import Renderer
+from betapose_tpu.geometry import metrics
+from betapose_tpu.geometry.utils import get_bbox_from_mask
+from betapose_tpu.tools.annotator import annotate_frame
+from betapose_tpu.models import yolov3 as yolo_mod
+from betapose_tpu.models import kpd as kpd_mod
+from betapose_tpu.train import yolo_train, kpd_train
+from betapose_tpu.train.augment import AugmentConfig, augment_batch
+from betapose_tpu.eval.pipeline import PosePipeline, PipelineConfig
+
+CAM_K = sixd_mod.LINEMOD_CAM_K
+
+YOLO_CFG = """
+[net]
+width={reso}
+height={reso}
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=64
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=64
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[convolutional]
+size=1
+stride=1
+pad=1
+filters=18
+activation=linear
+
+[yolo]
+mask = 0,1,2
+anchors = 24,24,  40,40,  64,64
+classes=1
+num=3
+ignore_thresh = .7
+"""
+
+
+class CubeModel:
+    def __init__(self, half=0.04, n_extra=400, seed=0):
+        rng = np.random.default_rng(seed)
+        corners = np.array([[x, y, z] for x in (-half, half)
+                            for y in (-half, half) for z in (-half, half)])
+        extra = rng.uniform(-half, half, (n_extra, 3))
+        ax = rng.integers(0, 3, n_extra)
+        sign = rng.choice([-1.0, 1.0], n_extra)
+        extra[np.arange(n_extra), ax] = sign * half
+        self.vertices = np.concatenate([corners, extra])
+        self.colors = 0.25 + 0.75 * rng.random((len(self.vertices), 3))
+        self.faces = None
+        self.half = half
+
+
+def make_scene(rng, model):
+    ang = rng.uniform(0, 2 * np.pi, 3)
+
+    def rot(a, axis):
+        c, s = np.cos(a), np.sin(a)
+        m = np.eye(3)
+        i, j = [(1, 2), (0, 2), (0, 1)][axis]
+        m[i, i], m[i, j], m[j, i], m[j, j] = c, -s, s, c
+        return m
+
+    R = rot(ang[0], 0) @ rot(ang[1], 1) @ rot(ang[2], 2)
+    t = np.array([rng.uniform(-0.1, 0.1), rng.uniform(-0.08, 0.08),
+                  rng.uniform(0.55, 0.8)])
+    pose = np.eye(4)
+    pose[:3, :3] = R
+    pose[:3, 3] = t
+
+    r = Renderer(size=(640, 480), cam=CAM_K)
+    r.draw_model(model, pose)
+    rgb, depth = r.finish()
+    mask = depth > 0
+    xmin, xmax, ymin, ymax = get_bbox_from_mask(mask)
+    frame = (rng.random((480, 640, 3)) * 0.25 * 255).astype(np.uint8)
+    frame[mask] = np.clip(rgb[mask] * 255, 0, 255).astype(np.uint8)
+    bbox = [xmin, ymin, xmax, ymax]
+    return frame, pose, bbox
+
+
+def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=250,
+                 reso=192, inp_h=128, inp_w=96, n_kp=12, seed=0,
+                 verbose=True):
+    rng = np.random.default_rng(seed)
+    model = CubeModel()
+    kp_idx = rng.choice(len(model.vertices), n_kp, replace=False)
+    kp3d = model.vertices[kp_idx]
+
+    # ---- stage 2: render + annotate ----
+    frames, poses, bboxes, parts = [], [], [], []
+    for _ in range(n_frames + n_eval):
+        frame, pose, bbox = make_scene(rng, model)
+        _, kp_img = annotate_frame(pose, bbox, model.vertices, kp3d, CAM_K)
+        frames.append(frame)
+        poses.append(pose)
+        bboxes.append(bbox)
+        parts.append(kp_img)
+    frames = np.stack(frames)
+    bboxes_np = np.asarray(bboxes, np.float32)
+    parts_np = np.stack(parts).astype(np.float32)
+    if verbose:
+        print(f"rendered {len(frames)} scenes")
+
+    # ---- stage 3a: train YOLO ----
+    cfg_text = YOLO_CFG.format(reso=reso)
+    spec = yolo_mod.build_spec(cfg_text)
+    yparams = yolo_mod.init_params(jax.random.PRNGKey(0), spec)
+    ycfg = yolo_train.YoloTrainConfig(lr=1e-3, burn_in=20, steps=(10 ** 6,),
+                                     scales=(0.1,), decay=5e-4)
+    ytx = yolo_train.make_optimizer(ycfg)
+    yopt = ytx.init(yparams)
+    ystep = yolo_train.make_train_step(spec, ytx, reso, reso, donate=False)
+
+    import cv2
+    small = np.stack([cv2.resize(f, (reso, reso)) for f in frames[:n_frames]]
+                     ).astype(np.float32) / 255.0
+    truths = np.zeros((n_frames, 4, 5), np.float32)
+    for i, bb in enumerate(bboxes[:n_frames]):
+        truths[i, 0] = [(bb[0] + bb[2]) / 2 / 640, (bb[1] + bb[3]) / 2 / 480,
+                        (bb[2] - bb[0]) / 640, (bb[3] - bb[1]) / 480, 0]
+    small_j = jnp.asarray(small)
+    truths_j = jnp.asarray(truths)
+    t0 = time.time()
+    B = 16
+    for it in range(yolo_iters):
+        sel = rng.integers(0, n_frames, B)
+        yparams, yopt, ym = ystep(yparams, yopt, small_j[sel], truths_j[sel])
+    if verbose:
+        print(f"yolo trained {yolo_iters} iters "
+              f"(loss {float(ym['loss']):.3f}, "
+              f"iou {float(ym['head0/avg_iou']):.3f}, "
+              f"{time.time() - t0:.0f}s)")
+
+    # ---- stage 3b: train KPD ----
+    out_h, out_w = inp_h // 4, inp_w // 4
+    kparams = kpd_mod.init_params(jax.random.PRNGKey(1), n_classes=n_kp,
+                                  arch="resnet50")
+    ktx = kpd_train.make_optimizer("adam", lr=1e-3, params_example=kparams)
+    kopt = ktx.init(kparams)
+    kstep = kpd_train.make_train_step(ktx, out_res_h=out_h, donate=False)
+    aug_cfg = AugmentConfig(inp_h=inp_h, inp_w=inp_w, out_h=out_h,
+                            out_w=out_w, rotate=15.0, train=True)
+    imgs01 = jnp.asarray(frames[:n_frames].astype(np.float32) / 255.0)
+    key = jax.random.PRNGKey(2)
+    t0 = time.time()
+    for it in range(kpd_iters):
+        sel = rng.integers(0, n_frames, 8)
+        key, k1 = jax.random.split(key)
+        batch = augment_batch(k1, imgs01[sel], jnp.asarray(bboxes_np[sel]),
+                              jnp.asarray(parts_np[sel]), aug_cfg)
+        kparams, kopt, km = kstep(kparams, kopt, batch)
+    if verbose:
+        print(f"kpd trained {kpd_iters} iters "
+              f"(loss {float(km['loss']):.5f}, acc {float(km['acc']):.3f}, "
+              f"{time.time() - t0:.0f}s)")
+
+    # ---- stage 3c: fused eval on held-out frames ----
+    pcfg = PipelineConfig(
+        reso=reso, inp_h=inp_h, inp_w=inp_w, out_h=out_h, out_w=out_w,
+        n_kp=n_kp, left_keypoints=n_kp, confidence=0.005,
+        compute_dtype="float32", pallas_decode=None)
+    pipe = PosePipeline(spec, yolo_mod.fold_bn(spec, yparams), kparams,
+                        kp3d, CAM_K, pcfg)
+    eval_frames = frames[n_frames:]
+    out = {k: np.asarray(v) for k, v in pipe(eval_frames).items()}
+
+    adds, errs2d, ious = [], [], []
+    for j in range(n_eval):
+        gt_pose = poses[n_frames + j]
+        if not out["det_valid"][j]:
+            continue
+        pred = np.eye(4)
+        pred[:3, :3] = out["cam_R"][j]
+        pred[:3, 3] = out["cam_t"][j]
+        adds.append(metrics.add_err(gt_pose, pred, model.vertices))
+        errs2d.append(metrics.projection_error_2d(
+            gt_pose, pred, model.vertices, CAM_K))
+        gb = bboxes[n_frames + j]
+        ious.append(metrics.iou(gb, out["boxes"][j].tolist()))
+    stats = {
+        "n_detected": len(adds),
+        "mean_add_m": float(np.mean(adds)) if adds else float("inf"),
+        "mean_2d_px": float(np.mean(errs2d)) if errs2d else float("inf"),
+        "mean_iou": float(np.mean(ious)) if ious else 0.0,
+    }
+    if verbose:
+        print(f"eval: detected {stats['n_detected']}/{n_eval}, "
+              f"ADD {stats['mean_add_m'] * 100:.2f} cm, "
+              f"2D {stats['mean_2d_px']:.1f} px, "
+              f"IoU {stats['mean_iou']:.3f}")
+    return stats
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", type=int, default=60)
+    p.add_argument("--iters", type=int, default=250)
+    args = p.parse_args(argv)
+    stats = run_selftest(n_frames=args.frames, yolo_iters=args.iters,
+                         kpd_iters=args.iters)
+    return stats
+
+
+if __name__ == "__main__":
+    main()

@@ -99,8 +99,11 @@ def pck_accuracy(out, labels, out_res_h: int):
 def make_loss_fn(out_res_h: int):
     def loss_fn(params, batch):
         bn_stats = {}
-        out = kpd_mod.forward(params, batch["inps"], train=True,
-                              bn_stats=bn_stats)
+        # f32 matmul precision: TPU's bf16 default is too coarse for stable
+        # batch-norm training gradients
+        with jax.default_matmul_precision("float32"):
+            out = kpd_mod.forward(params, batch["inps"], train=True,
+                                  bn_stats=bn_stats)
         loss = masked_mse_loss(out, batch["labels"], batch["set_mask"])
         acc, _ = pck_accuracy(out * batch["set_mask"], batch["labels"],
                               out_res_h)

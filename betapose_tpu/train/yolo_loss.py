@@ -73,10 +73,12 @@ def head_loss(raw, anchors, all_anchors, num_classes, net_w, net_h,
     ah = anc[:, 1][None, :, None, None]
 
     # decoded predictions in normalized coords (get_yolo_box, yolo_layer.c:84)
+    # exp args clipped: these feed only the ignore-mask IoU test and the
+    # avg-iou metric, and unclipped exps overflow on early-training spikes
     px = (jax.nn.sigmoid(tx_z) + grid_x) / gw
     py = (jax.nn.sigmoid(ty_z) + grid_y) / gh
-    pw = jnp.exp(tw_z) * aw / net_w
-    ph = jnp.exp(th_z) * ah / net_h
+    pw = jnp.exp(jnp.clip(tw_z, -12.0, 12.0)) * aw / net_w
+    ph = jnp.exp(jnp.clip(th_z, -12.0, 12.0)) * ah / net_h
     pred = jnp.stack([px, py, pw, ph], axis=-1)  # [B,nA,gh,gw,4]
 
     gt_valid = truths[..., 0] != 0                     # [B,T]

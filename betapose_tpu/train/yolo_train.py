@@ -216,7 +216,11 @@ def make_train_step(spec, tx, net_w: int, net_h: int, donate: bool = True):
     @functools.partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def train_step(params, opt_state, images, truths):
         def loss_fn(p):
-            loss, metrics = yolo_loss(spec, p, images, truths, net_w, net_h)
+            # TPU matmuls default to bfloat16 inputs; training needs f32
+            # accumulation (bf16 gradient noise destabilizes the yolo loss)
+            with jax.default_matmul_precision("float32"):
+                loss, metrics = yolo_loss(spec, p, images, truths,
+                                          net_w, net_h)
             return loss, metrics
 
         (loss, metrics), grads = jax.value_and_grad(
