@@ -249,6 +249,21 @@ def load_darknet_weights(spec: NetworkSpec, path, dtype=jnp.float32,
     return params, header
 
 
+BN_ROLLING_MOMENTUM = 0.01  # darknet: rolling = .99*rolling + .01*batch
+
+
+def apply_bn_updates(params, bn_stats, momentum: float = BN_ROLLING_MOMENTUM):
+    """Update rolling BN stats with darknet momentum semantics
+    (blas.c: scal .99 + axpy .01).  Returns a new params list."""
+    new = list(params)
+    for idx, (mean, var) in bn_stats.items():
+        p = dict(new[idx])
+        p["bn_mean"] = (1 - momentum) * p["bn_mean"] + momentum * mean
+        p["bn_var"] = (1 - momentum) * p["bn_var"] + momentum * var
+        new[idx] = p
+    return new
+
+
 def save_partial_weights(spec: NetworkSpec, params, path, cutoff: int,
                          seen: int = 0):
     """darknet's weight surgery `partial` (`darknet.c` partial()): write only
@@ -282,7 +297,11 @@ def save_darknet_weights(spec: NetworkSpec, params, path, seen: int = 0):
 # Forward
 # ---------------------------------------------------------------------------
 
-def _conv_layer(l: LayerSpec, p, x, train=False):
+def _conv_layer(l: LayerSpec, p, x, train=False, bn_stats=None, path=None):
+    """Conv + BN + activation.  train=True normalizes with BATCH statistics
+    (darknet's forward_batchnorm_layer semantics) and records
+    (batch_mean, batch_var) into bn_stats[path] for rolling-stat updates;
+    inference uses running stats (or folded weights)."""
     w = p["w"].astype(x.dtype)
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=(l.stride, l.stride),
@@ -290,8 +309,17 @@ def _conv_layer(l: LayerSpec, p, x, train=False):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32)
     if l.batch_normalize and "bn_scale" in p:
-        scale = p["bn_scale"] / jnp.sqrt(p["bn_var"] + BN_EPS)
-        y = y * scale + (p["bn_bias"] - p["bn_mean"] * scale)
+        if train:
+            yf = y.astype(jnp.float32)
+            mean = jnp.mean(yf, axis=(0, 1, 2))
+            var = jnp.var(yf, axis=(0, 1, 2))
+            if bn_stats is not None:
+                bn_stats[path] = (mean, var)
+            y = (yf - mean) * jax.lax.rsqrt(var + BN_EPS) * p["bn_scale"] \
+                + p["bn_bias"]
+        else:
+            scale = p["bn_scale"] / jnp.sqrt(p["bn_var"] + BN_EPS)
+            y = y * scale + (p["bn_bias"] - p["bn_mean"] * scale)
     elif "b" in p:
         y = y + p["b"]
     if l.activation == "leaky":
@@ -354,11 +382,14 @@ def decode_head(x_nhwc, anchors, num_classes, reso):
     return out.reshape(b, na * gs * gs, attrs)
 
 
-def forward(spec: NetworkSpec, params, x, reso: int, decode: bool = True):
+def forward(spec: NetworkSpec, params, x, reso: int, decode: bool = True,
+            train: bool = False, bn_stats=None):
     """Run the network. x: [B, H, W, 3] (H == W == reso).
 
     Returns decoded detections [B, nBoxes, 5+nC] if decode else the list of
-    raw yolo-head feature maps (for the training loss).
+    raw yolo-head feature maps (for the training loss).  train=True uses
+    batch-stat BN and records per-layer stats into `bn_stats` (dict keyed by
+    layer index) for rolling updates (see `apply_bn_updates`).
     """
     cache = {}
     raw_heads = []
@@ -366,7 +397,7 @@ def forward(spec: NetworkSpec, params, x, reso: int, decode: bool = True):
     for i, l in enumerate(spec.layers):
         p = params[i]
         if l.kind == "conv":
-            x = _conv_layer(l, p, x)
+            x = _conv_layer(l, p, x, train=train, bn_stats=bn_stats, path=i)
         elif l.kind == "shortcut":
             x = cache[i - 1] + cache[l.from_idx]
         elif l.kind == "route":

@@ -160,26 +160,27 @@ def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=250,
     cfg_text = YOLO_CFG.format(reso=reso)
     spec = yolo_mod.build_spec(cfg_text)
     yparams = yolo_mod.init_params(jax.random.PRNGKey(0), spec)
-    ycfg = yolo_train.YoloTrainConfig(lr=1e-3, burn_in=20, steps=(10 ** 6,),
+    ycfg = yolo_train.YoloTrainConfig(lr=1e-3, burn_in=200, steps=(10 ** 6,),
                                      scales=(0.1,), decay=5e-4)
     ytx = yolo_train.make_optimizer(ycfg)
     yopt = ytx.init(yparams)
     ystep = yolo_train.make_train_step(spec, ytx, reso, reso, donate=False)
 
-    import cv2
-    small = np.stack([cv2.resize(f, (reso, reso)) for f in frames[:n_frames]]
-                     ).astype(np.float32) / 255.0
     truths = np.zeros((n_frames, 4, 5), np.float32)
     for i, bb in enumerate(bboxes[:n_frames]):
         truths[i, 0] = [(bb[0] + bb[2]) / 2 / 640, (bb[1] + bb[3]) / 2 / 480,
                         (bb[2] - bb[0]) / 640, (bb[3] - bb[1]) / 480, 0]
-    small_j = jnp.asarray(small)
+    full_j = jnp.asarray(frames[:n_frames].astype(np.float32) / 255.0)
     truths_j = jnp.asarray(truths)
     t0 = time.time()
     B = 16
+    ykey = jax.random.PRNGKey(3)
     for it in range(yolo_iters):
         sel = rng.integers(0, n_frames, B)
-        yparams, yopt, ym = ystep(yparams, yopt, small_j[sel], truths_j[sel])
+        ykey, k1 = jax.random.split(ykey)
+        aug_imgs, aug_truths = yolo_train.augment_detection_batch(
+            k1, full_j[sel], truths_j[sel], ycfg, reso, reso)
+        yparams, yopt, ym = ystep(yparams, yopt, aug_imgs, aug_truths)
     if verbose:
         print(f"yolo trained {yolo_iters} iters "
               f"(loss {float(ym['loss']):.3f}, "

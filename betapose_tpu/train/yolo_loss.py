@@ -163,11 +163,13 @@ def head_loss(raw, anchors, all_anchors, num_classes, net_w, net_h,
 
 
 def yolo_loss(spec, params, images, truths, net_w, net_h,
-              ignore_thresh=0.7):
-    """Total loss over all heads.  images: [B,H,W,3]; truths [B,T,5]."""
+              ignore_thresh=0.7, train=True, bn_stats=None):
+    """Total loss over all heads.  images: [B,H,W,3]; truths [B,T,5].
+    train=True uses batch-stat BN (darknet training semantics)."""
     from betapose_tpu.models import yolov3 as yolo_mod
 
-    raw_heads = yolo_mod.forward(spec, params, images, net_w, decode=False)
+    raw_heads = yolo_mod.forward(spec, params, images, net_w, decode=False,
+                                 train=train, bn_stats=bn_stats)
     head_specs = [spec.layers[i] for i in spec.yolo_idxs]
     all_anchors = _canonical_anchor_order(head_specs)
 

@@ -216,17 +216,24 @@ def make_train_step(spec, tx, net_w: int, net_h: int, donate: bool = True):
     @functools.partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def train_step(params, opt_state, images, truths):
         def loss_fn(p):
+            bn_stats = {}
             # TPU matmuls default to bfloat16 inputs; training needs f32
-            # accumulation (bf16 gradient noise destabilizes the yolo loss)
+            # accumulation (bf16 gradient noise destabilizes the yolo loss).
+            # Batch-stat BN (train=True) matches darknet's
+            # forward_batchnorm_layer — without it activations are
+            # unnormalized and the deep stack eventually overflows.
             with jax.default_matmul_precision("float32"):
                 loss, metrics = yolo_loss(spec, p, images, truths,
-                                          net_w, net_h)
-            return loss, metrics
+                                          net_w, net_h, train=True,
+                                          bn_stats=bn_stats)
+            return loss, (metrics, bn_stats)
 
-        (loss, metrics), grads = jax.value_and_grad(
+        (loss, (metrics, bn_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        params = yolo_mod.apply_bn_updates(
+            params, jax.tree_util.tree_map(jax.lax.stop_gradient, bn_stats))
         metrics = dict(metrics)
         metrics["loss"] = loss
         return params, opt_state, metrics
