@@ -143,19 +143,23 @@ def _bilinear_gather_masked(img, ys, xs, ul, br):
             + wy * ((1 - wx) * get(y1, x0) + wx * get(y1, x1)))
 
 
-def resize_bilinear_matmul(x, out_h: int, out_w: int):
+def resize_bilinear_matmul(x, out_h: int, out_w: int,
+                           antialias: bool = False):
     """Static-shape separable bilinear resize as two matmuls (MXU-fast,
-    same sampling grid as jax.image.resize 'linear': half-pixel centers).
-    x: [B,H,W,C]."""
+    half-pixel sampling grid).  x: [B,H,W,C].
+
+    antialias=False (default) matches cv2.resize INTER_LINEAR — the
+    convention of the reference pipeline AND of this framework's on-device
+    training augmentation; mixing kernels between train and eval is a real
+    domain shift (AA flattens high-frequency content).  antialias=True
+    matches jax.image.resize 'linear' (scale-widened triangle kernel)."""
     b, h, w, c = x.shape
     dtype = x.dtype
 
     def interp_matrix(src, dst):
-        # half-pixel convention: src_pos = (i + 0.5) * src/dst - 0.5, with
-        # an anti-aliasing triangle kernel widened by the downscale factor
-        # (matches jax.image.resize 'linear')
-        scale = max(src / dst, 1.0)
+        scale = max(src / dst, 1.0) if antialias else 1.0
         pos = (jnp.arange(dst, dtype=jnp.float32) + 0.5) * (src / dst) - 0.5
+        pos = pos if antialias else jnp.clip(pos, 0.0, src - 1.0)
         grid = jnp.arange(src, dtype=jnp.float32)
         wmat = jnp.clip(1.0 - jnp.abs(pos[:, None] - grid[None, :]) / scale,
                         0.0)

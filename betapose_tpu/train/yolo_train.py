@@ -156,15 +156,20 @@ def crop_jitter(key, img, boxes, box_valid, jitter, out_h, out_w):
     swidth = w - pleft - pright
     sheight = h - ptop - pbot
 
-    # sample grid over the jittered viewport (zero padding outside)
+    # sample grid over the jittered viewport (zero padding outside); the
+    # resampling is axis-aligned -> separable -> two matmuls on the MXU
+    # (gathers are ~100x slower on TPU)
     ys = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) / out_h * sheight \
         + ptop - 0.5
     xs = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) / out_w * swidth \
         + pleft - 0.5
-    from betapose_tpu.ops.image import _bilinear_gather
-    yy = jnp.broadcast_to(ys[:, None], (out_h, out_w))
-    xx = jnp.broadcast_to(xs[None, :], (out_h, out_w))
-    out = _bilinear_gather(img, yy, xx)
+    rows = jnp.arange(h, dtype=jnp.float32)
+    cols = jnp.arange(w, dtype=jnp.float32)
+    wy = jnp.clip(1.0 - jnp.abs(ys[:, None] - rows[None, :]), 0.0)
+    wx = jnp.clip(1.0 - jnp.abs(xs[:, None] - cols[None, :]), 0.0)
+    with jax.default_matmul_precision("float32"):
+        tmp = jnp.einsum("ih,hwc->iwc", wy, img)
+        out = jnp.einsum("jw,iwc->ijc", wx, tmp)
 
     # flip
     do_flip = jax.random.uniform(k5) < 0.5

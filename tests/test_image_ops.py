@@ -161,10 +161,18 @@ class TestCropBoxMatmul:
 
 
 class TestResizeMatmul:
-    def test_matches_jax_image_resize(self):
+    def test_aa_matches_jax_image_resize(self):
         rng = np.random.default_rng(9)
         x = jnp.asarray(rng.random((2, 48, 64, 3)).astype(np.float32))
-        a = np.asarray(im.resize_bilinear_matmul(x, 41, 41))
+        a = np.asarray(im.resize_bilinear_matmul(x, 41, 41, antialias=True))
         import jax
         b = np.asarray(jax.image.resize(x, (2, 41, 41, 3), method="linear"))
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+    def test_noaa_matches_cv2_linear(self):
+        cv2 = pytest.importorskip("cv2")
+        rng = np.random.default_rng(10)
+        x = rng.random((1, 48, 64, 3)).astype(np.float32)
+        a = np.asarray(im.resize_bilinear_matmul(jnp.asarray(x), 24, 32))[0]
+        b = cv2.resize(x[0], (32, 24), interpolation=cv2.INTER_LINEAR)
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)
