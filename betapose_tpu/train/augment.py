@@ -51,6 +51,7 @@ class AugmentConfig:
     hm_gauss: int = 1
     add_dpg: bool = False
     train: bool = True
+    flip: bool = True            # reference flips at p=0.5 (pose.py:131)
 
 
 def _rnd(key, x):
@@ -184,7 +185,7 @@ def _augment_one(key, img, bndbox, part, cfg: AugmentConfig):
     set_mask = jnp.ones((n_kp, cfg.out_h, cfg.out_w), labels.dtype)
 
     if cfg.train:
-        do_flip = jax.random.uniform(keys[7]) < 0.5
+        do_flip = (jax.random.uniform(keys[7]) < 0.5) & cfg.flip
         inp = jnp.where(do_flip, inp[:, ::-1, :], inp)
         labels = jnp.where(do_flip, labels[:, :, ::-1], labels)
 
