@@ -91,22 +91,41 @@ ignore_thresh = .7
 
 
 class CubeModel:
-    def __init__(self, half=0.04, n_extra=400, seed=0):
+    """Solid cube with distinctly-colored faces (each face split into a
+    bright and a dark triangle so in-plane orientation is also readable) —
+    a pose-learnable toy object for the self-test."""
+
+    def __init__(self, half=0.04, seed=0):
         rng = np.random.default_rng(seed)
-        corners = np.array([[x, y, z] for x in (-half, half)
-                            for y in (-half, half) for z in (-half, half)])
-        extra = rng.uniform(-half, half, (n_extra, 3))
-        ax = rng.integers(0, 3, n_extra)
-        sign = rng.choice([-1.0, 1.0], n_extra)
-        extra[np.arange(n_extra), ax] = sign * half
-        self.vertices = np.concatenate([corners, extra])
-        self.colors = 0.25 + 0.75 * rng.random((len(self.vertices), 3))
-        self.faces = None
+        c = np.array([[x, y, z] for x in (-half, half)
+                      for y in (-half, half) for z in (-half, half)])
+        # faces as corner-index quads (x-, x+, y-, y+, z-, z+)
+        quads = [(0, 1, 3, 2), (4, 6, 7, 5), (0, 4, 5, 1),
+                 (2, 3, 7, 6), (0, 2, 6, 4), (1, 5, 7, 3)]
+        face_colors = np.array([
+            [0.9, 0.2, 0.2], [0.2, 0.9, 0.2], [0.2, 0.3, 0.9],
+            [0.9, 0.9, 0.2], [0.9, 0.3, 0.9], [0.2, 0.9, 0.9]])
+        verts, cols, tris = [], [], []
+        for qi, q in enumerate(quads):
+            base = len(verts)
+            for vi in q:
+                verts.append(c[vi])
+            col = face_colors[qi]
+            cols.extend([col, col, col, col])
+            tris.append([base, base + 1, base + 2])       # bright tri
+            tris.append([base, base + 2, base + 3])       # (shading differs)
+        self.vertices = np.asarray(verts)
+        self.colors = np.asarray(cols)
+        self.faces = np.asarray(tris, int)
         self.half = half
 
 
 def make_scene(rng, model):
-    ang = rng.uniform(0, 2 * np.pi, 3)
+    # LineMod-like viewpoint coverage: full in-plane rotation, limited tilt
+    # (the real benchmark's views live on the upper hemisphere; a toy
+    # training set can't cover all of SO(3))
+    ang = np.array([rng.uniform(-0.8, 0.8), rng.uniform(-0.8, 0.8),
+                    rng.uniform(0, 2 * np.pi)])
 
     def rot(a, axis):
         c, s = np.cos(a), np.sin(a)
@@ -138,8 +157,14 @@ def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=1500,
                  verbose=True):
     rng = np.random.default_rng(seed)
     model = CubeModel()
-    kp_idx = rng.choice(len(model.vertices), n_kp, replace=False)
-    kp3d = model.vertices[kp_idx]
+    # designated keypoints: the 8 unique corners + face centers (well-spread
+    # distinct 3D points, as a SIFT designator would produce)
+    h = model.half
+    corners = np.array([[x, y, z] for x in (-h, h) for y in (-h, h)
+                        for z in (-h, h)])
+    centers = np.array([[-h, 0, 0], [h, 0, 0], [0, -h, 0], [0, h, 0],
+                        [0, 0, -h], [0, 0, h]])
+    kp3d = np.concatenate([corners, centers])[:n_kp]
 
     # ---- stage 2: render + annotate ----
     frames, poses, bboxes, parts = [], [], [], []
