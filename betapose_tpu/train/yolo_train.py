@@ -198,19 +198,34 @@ def crop_jitter(key, img, boxes, box_valid, jitter, out_h, out_w):
     return out, new_boxes
 
 
+_AUG_CACHE = {}
+
+
 def augment_detection_batch(key, imgs, truths, cfg: YoloTrainConfig,
                             out_h: int, out_w: int):
     """imgs: [B,H,W,3] float [0,1]; truths [B,T,5] normalized.
-    Returns (images [B,out_h,out_w,3], truths')."""
-    def one(k, img, tr):
-        k1, k2 = jax.random.split(k)
-        valid = tr[:, 0] != 0
-        img2, tr2 = crop_jitter(k1, img, tr, valid, cfg.jitter, out_h, out_w)
-        img2 = distort_hsv(k2, img2, cfg.hue, cfg.saturation, cfg.exposure)
-        return img2, tr2
+    Returns (images [B,out_h,out_w,3], truths').  The batched augmentation
+    is jit-compiled (cached per config/shape) — running it eagerly costs
+    hundreds of per-op dispatches per step."""
+    sig = (cfg.jitter, cfg.hue, cfg.saturation, cfg.exposure, out_h, out_w)
+    fn = _AUG_CACHE.get(sig)
+    if fn is None:
+        def batch_fn(key, imgs, truths):
+            def one(k, img, tr):
+                k1, k2 = jax.random.split(k)
+                valid = tr[:, 0] != 0
+                img2, tr2 = crop_jitter(k1, img, tr, valid, cfg.jitter,
+                                        out_h, out_w)
+                img2 = distort_hsv(k2, img2, cfg.hue, cfg.saturation,
+                                   cfg.exposure)
+                return img2, tr2
 
-    keys = jax.random.split(key, imgs.shape[0])
-    return jax.vmap(one)(keys, imgs, truths)
+            keys = jax.random.split(key, imgs.shape[0])
+            return jax.vmap(one)(keys, imgs, truths)
+
+        fn = jax.jit(batch_fn)
+        _AUG_CACHE[sig] = fn
+    return fn(key, imgs, truths)
 
 
 # ---------------------------------------------------------------------------
