@@ -301,10 +301,7 @@ def torch_state_dict_to_params(state_dict, n_classes: int = 50,
     """Convert a torch FastPose state_dict (tensor or ndarray values) into
     this module's param tree.  Conv weights OIHW -> HWIO; linear weights
     transposed.  Accepts 'module.'-prefixed (DataParallel) keys."""
-    params = jax.tree_util.tree_map(
-        lambda x: np.zeros_like(np.asarray(x)),
-        init_params(jax.random.PRNGKey(0), n_classes, arch))
-    # Make mutable nested-dict copy
+    # Mutable host copy of the init tree to overwrite in place
     import copy
     params = copy.deepcopy(jax.device_get(
         init_params(jax.random.PRNGKey(0), n_classes, arch)))

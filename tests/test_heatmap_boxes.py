@@ -195,3 +195,35 @@ class TestPoseNMS:
         scores[:] = 0.9
         out = pnms.pose_nms(bboxes, bscores, preds, scores)
         assert len(out) == 2
+
+
+class TestGreedyNMS:
+    def test_matches_host_nms(self):
+        """Device fixed-shape NMS vs a straightforward host greedy NMS."""
+        rng = np.random.default_rng(8)
+        n = 24
+        centers = rng.uniform(50, 350, (n, 2))
+        sizes = rng.uniform(30, 80, (n, 2))
+        boxes = np.concatenate([centers - sizes / 2, centers + sizes / 2], 1)
+        scores = rng.random(n).astype(np.float32)
+
+        keep_idx, keep_mask = box_ops.nms(
+            jnp.asarray(boxes.astype(np.float32)), jnp.asarray(scores),
+            iou_thresh=0.4, max_out=n)
+        ours = set(np.asarray(keep_idx)[np.asarray(keep_mask)].tolist())
+
+        # host oracle with the same +1 IoU convention
+        order = np.argsort(-scores)
+        alive = np.ones(n, bool)
+        golden = set()
+        for oi, i in enumerate(order):
+            if not alive[i]:
+                continue
+            golden.add(int(i))
+            for j in order[oi + 1:]:
+                if alive[j]:
+                    iou = float(box_ops.bbox_iou(
+                        jnp.asarray(boxes[i]), jnp.asarray(boxes[j])))
+                    if iou >= 0.4:
+                        alive[j] = False
+        assert ours == golden
