@@ -71,7 +71,16 @@ def _conv(x, w, b=None, stride=1, pad=0):
     return y
 
 
+_TRAIN_BN = False  # module flag threaded by forward(train=...)
+
+
 def _bn(x, p):
+    if _TRAIN_BN:
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(0, 1, 2))
+        var = jnp.var(xf, axis=(0, 1, 2))
+        y = (xf - mean) * jax.lax.rsqrt(var + BN_EPS) * p["scale"] + p["bias"]
+        return y.astype(x.dtype)
     scale = p["scale"] / jnp.sqrt(p["var"] + BN_EPS)
     return (x.astype(jnp.float32) * scale
             + (p["bias"] - p["mean"] * scale)).astype(x.dtype)
@@ -358,10 +367,27 @@ def init_params(key, n_classes: int = 50, n_feats: int = 256,
     return p
 
 
-def forward(params, x, all_heads: bool = False):
+def forward(params, x, all_heads: bool = False, train: bool = False,
+            bn_stats=None):
     """x: [B,H,W,3].  Returns the final head's heatmaps [B,H/4,W/4,K]
     (PyraNet_Inference) or all nStack heads (PyraNet, for intermediate
-    supervision) when all_heads=True."""
+    supervision) when all_heads=True.
+
+    train=True normalizes every BN with batch statistics (required for
+    stable training — running stats start at identity).  Running stats are
+    NOT rolled during training (the deep nested structure makes per-site
+    threading expensive); calibrate them post-hoc with `calibrate_bn`
+    before running inference.  bn_stats is accepted for interface parity
+    with kpd.forward and ignored."""
+    global _TRAIN_BN
+    _TRAIN_BN = bool(train)
+    try:
+        return _forward_impl(params, x, all_heads)
+    finally:
+        _TRAIN_BN = False
+
+
+def _forward_impl(params, x, all_heads: bool = False):
     y = _conv(x, params["conv1"]["w"], params["conv1"]["b"], 2, 3)
     y = _bn_relu(y, params["bn1"])
     y = prm_residual(params["r1"], y)
@@ -383,3 +409,47 @@ def forward(params, x, all_heads: bool = False):
             out_ = _conv(out, st["out_"]["w"], st["out_"]["b"])
             inter = inter + lin_ + out_
     return outs if all_heads else outs[-1]
+
+
+def calibrate_bn(params, x, momentum: float = 1.0):
+    """Post-hoc BN calibration: run one representative batch in train mode
+    and write the observed batch statistics into every BN's running stats
+    (momentum=1.0 replaces them outright).  Returns new params."""
+    stats = []
+
+    global _TRAIN_BN
+
+    def record_bn(x, p):
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(0, 1, 2))
+        var = jnp.var(xf, axis=(0, 1, 2))
+        stats.append((p, mean, var))
+        y = (xf - mean) * jax.lax.rsqrt(var + BN_EPS) * p["scale"] + p["bias"]
+        return y.astype(x.dtype)
+
+    # monkey-patch _bn for the traversal (params dicts are shared objects,
+    # so identity maps stats back onto the tree)
+    global _bn
+    orig = _bn
+    _bn = record_bn
+    try:
+        _forward_impl(params, x, all_heads=False)
+    finally:
+        _bn = orig
+
+    id_to_stats = {id(p): (m, v) for p, m, v in stats}
+
+    def rewrite(tree):
+        if isinstance(tree, dict):
+            if id(tree) in id_to_stats and "mean" in tree:
+                m, v = id_to_stats[id(tree)]
+                new = dict(tree)
+                new["mean"] = (1 - momentum) * tree["mean"] + momentum * m
+                new["var"] = (1 - momentum) * tree["var"] + momentum * v
+                return new
+            return {k: rewrite(v) for k, v in tree.items()}
+        if isinstance(tree, list):
+            return [rewrite(v) for v in tree]
+        return tree
+
+    return rewrite(params)

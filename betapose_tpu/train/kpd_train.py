@@ -96,26 +96,37 @@ def pck_accuracy(out, labels, out_res_h: int):
     return jnp.sum(correct) / n_valid, jnp.sum(valid)
 
 
-def make_loss_fn(out_res_h: int):
+def make_loss_fn(out_res_h: int, forward_fn=None):
+    """forward_fn(params, inps, train, bn_stats) -> heatmaps or a LIST of
+    per-stack heatmaps (hgPRM intermediate supervision: the loss is summed
+    over stacks, accuracy uses the final stack — reference train.py applies
+    MSE per stack for stacked-hourglass models)."""
     def loss_fn(params, batch):
         bn_stats = {}
         # f32 matmul precision: TPU's bf16 default is too coarse for stable
         # batch-norm training gradients
         with jax.default_matmul_precision("float32"):
-            out = kpd_mod.forward(params, batch["inps"], train=True,
-                                  bn_stats=bn_stats)
-        loss = masked_mse_loss(out, batch["labels"], batch["set_mask"])
-        acc, _ = pck_accuracy(out * batch["set_mask"], batch["labels"],
+            if forward_fn is None:
+                out = kpd_mod.forward(params, batch["inps"], train=True,
+                                      bn_stats=bn_stats)
+            else:
+                out = forward_fn(params, batch["inps"], train=True,
+                                 bn_stats=bn_stats)
+        outs = out if isinstance(out, (list, tuple)) else [out]
+        loss = sum(masked_mse_loss(o, batch["labels"], batch["set_mask"])
+                   for o in outs)
+        acc, _ = pck_accuracy(outs[-1] * batch["set_mask"], batch["labels"],
                               out_res_h)
         return loss, (acc, bn_stats)
     return loss_fn
 
 
-def make_train_step(tx, out_res_h: int = 80, donate: bool = True):
+def make_train_step(tx, out_res_h: int = 80, donate: bool = True,
+                    forward_fn=None, apply_bn=True):
     """Returns jitted train_step(params, opt_state, batch) ->
     (new_params, new_opt_state, metrics).  Call under a Mesh context with a
     'data'-sharded batch for DP — XLA inserts the gradient all-reduce."""
-    loss_fn = make_loss_fn(out_res_h)
+    loss_fn = make_loss_fn(out_res_h, forward_fn)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def train_step(params, opt_state, batch):
@@ -123,8 +134,9 @@ def make_train_step(tx, out_res_h: int = 80, donate: bool = True):
             loss_fn, has_aux=True)(params, batch)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        params = kpd_mod.apply_bn_updates(
-            params, jax.lax.stop_gradient(bn_stats), BN_MOMENTUM)
+        if apply_bn and bn_stats:
+            params = kpd_mod.apply_bn_updates(
+                params, jax.lax.stop_gradient(bn_stats), BN_MOMENTUM)
         return params, opt_state, {"loss": loss, "acc": acc}
 
     return train_step

@@ -50,3 +50,39 @@ class TestHgPRM:
         leaves = jax.tree_util.tree_leaves(g)
         assert any(float(jnp.abs(l).max()) > 0 for l in leaves
                    if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating))
+
+
+class TestHgPRMTraining:
+    def test_train_step_and_calibration(self):
+        from betapose_tpu.train import kpd_train
+        params = hgprm.init_params(jax.random.PRNGKey(0), n_classes=4,
+                                   n_feats=16, n_stack=2)
+        tx = kpd_train.make_optimizer("adam", lr=1e-3,
+                                      params_example=params)
+        opt_state = tx.init(params)
+        fwd = lambda p, x, train=False, bn_stats=None: hgprm.forward(
+            p, x, all_heads=True, train=train)
+        step = kpd_train.make_train_step(tx, out_res_h=16, donate=False,
+                                         forward_fn=fwd, apply_bn=False)
+        rng = np.random.default_rng(0)
+        from betapose_tpu.ops import heatmap as hm_ops
+        h = w = 64
+        pts = rng.random((2, 4, 2)).astype(np.float32) * [w // 4, h // 4]
+        labels = np.asarray(hm_ops.draw_gaussian_batch(
+            jnp.asarray(pts), h // 4, w // 4, sigma=1)).transpose(0, 2, 3, 1)
+        batch = {"inps": jnp.asarray(rng.standard_normal(
+                     (2, h, w, 3)).astype(np.float32)),
+                 "labels": jnp.asarray(labels),
+                 "set_mask": jnp.ones_like(jnp.asarray(labels))}
+        losses = []
+        for _ in range(4):
+            params, opt_state, m = step(params, opt_state, batch)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0]
+        # post-hoc BN calibration writes batch stats into running stats
+        calibrated = hgprm.calibrate_bn(params, batch["inps"])
+        before = np.asarray(params["bn1"]["mean"])
+        after = np.asarray(calibrated["bn1"]["mean"])
+        assert not np.allclose(before, after)
+        out = hgprm.forward(calibrated, batch["inps"])
+        assert np.all(np.isfinite(np.asarray(out)))
