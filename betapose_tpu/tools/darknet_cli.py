@@ -241,9 +241,9 @@ def cmd_test(data, cfg, weights, image, thresh=0.24):
     return dets
 
 
-def cmd_valid(data, cfg, weights, thresh=0.005):
+def cmd_valid(data, cfg, weights, thresh=0.005, out_dir="results"):
     """validate_detector equivalent: dump detections for the valid list in
-    comp4-style text files under results/."""
+    comp4-style text files under `out_dir` (darknet writes results/)."""
     opts = read_data_cfg(data)
     paths = [ln.strip() for ln in open(opts["valid"]) if ln.strip()]
     names = ([ln.strip() for ln in open(opts["names"])]
@@ -251,9 +251,9 @@ def cmd_valid(data, cfg, weights, thresh=0.005):
              else [str(i) for i in range(int(opts.get("classes", 1)))])
     spec, params, reso = _load_model(cfg, weights)
     dets = _detect_images(spec, params, reso, paths, thresh)
-    os.makedirs("results", exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)
     files = {c: open(os.path.join(
-        "results", f"comp4_det_test_{names[c]}.txt"), "w")
+        out_dir, f"comp4_det_test_{names[c]}.txt"), "w")
         for c in range(len(names))}
     for p, det in zip(paths, dets):
         image_id = os.path.splitext(os.path.basename(p))[0]
@@ -263,7 +263,7 @@ def cmd_valid(data, cfg, weights, thresh=0.005):
                            f"{d[1] + 1:.6f} {d[2] + 1:.6f} {d[3] + 1:.6f}\n")
     for f in files.values():
         f.close()
-    print("results/ written")
+    print(f"{out_dir}/ written")
 
 
 def cmd_partial(cfg, weights, out, cutoff: int):

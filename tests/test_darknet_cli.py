@@ -131,7 +131,8 @@ class TestEvalVerbs:
         darknet_cli.cmd_test(tiny_dataset["data"], tiny_dataset["cfg"],
                              None, tiny_dataset["paths"][0], thresh=0.3)
         darknet_cli.cmd_valid(tiny_dataset["data"], tiny_dataset["cfg"],
-                              None, thresh=0.3)
+                              None, thresh=0.3,
+                              out_dir=str(tiny_dataset["dir"] / "results"))
 
 
 @pytest.fixture
