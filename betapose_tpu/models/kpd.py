@@ -314,6 +314,8 @@ def torch_state_dict_to_params(state_dict, n_classes: int = 50,
               "running_mean": "mean", "running_var": "var"}
 
     for key, val in state_dict.items():
+        if key.endswith("num_batches_tracked"):
+            continue  # torch>=1.0 BN step counter; no JAX equivalent
         v = np_of(val)
         k = key
         for pref in ("module.", "model."):

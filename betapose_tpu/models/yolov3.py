@@ -176,18 +176,29 @@ def load_darknet_weights(spec: NetworkSpec, path, dtype=jnp.float32,
                          allow_partial: bool = True, init_key=None):
     """Read a darknet .weights file into the params pytree.
 
-    Byte layout per `yolo/darknet.py:365-432` / `parser.c:962-1019`:
-    4x int32 header [major, minor, revision, seen], then a float32 stream;
-    for each conv layer (in cfg order): if batch_normalize:
+    Byte layout per `parser.c load_weights_upto:1155-1180` / `save_weights:
+    973-979`: int32 [major, minor, revision], then `seen` — a uint64 when
+    (major*10+minor) >= 2 (official pjreddie/AlexeyAB release files, e.g.
+    yolov3.weights / darknet53.conv.74 carry minor=2), else an int32 (what
+    this repo's writer emits, matching the vendored fork) — then a float32
+    stream; for each conv layer (in cfg order): if batch_normalize:
     [bias(beta), scale(gamma), running_mean, running_var] each of len C_out,
     else [conv_bias]; then conv weights, C_out*C_in*k*k floats in OIHW order.
 
     allow_partial: darknet semantics — a truncated file (e.g. a pretrained
     backbone like darknet53.conv.74) fills the leading layers and leaves the
     rest at their initialization (`parser.c load_weights` stops at EOF).
+
+    Returns (params, header) with header = int64[4] [major, minor, revision,
+    seen] regardless of on-disk seen width.
     """
     with open(path, "rb") as f:
-        header = np.fromfile(f, dtype=np.int32, count=4)
+        major, minor, revision = np.fromfile(f, dtype=np.int32, count=3)
+        if major * 10 + minor >= 2 and major < 1000 and minor < 1000:
+            seen = int(np.fromfile(f, dtype=np.uint64, count=1)[0])
+        else:
+            seen = int(np.fromfile(f, dtype=np.int32, count=1)[0])
+        header = np.array([major, minor, revision, seen], dtype=np.int64)
         stream = np.fromfile(f, dtype=np.float32)
     init = init_params(init_key if init_key is not None
                        else jax.random.PRNGKey(0), spec, dtype)

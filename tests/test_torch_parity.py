@@ -1,0 +1,227 @@
+"""Full-network numerical parity against the REFERENCE torch graphs.
+
+These tests import the reference's own model code (read-only, at
+/root/reference) and compare whole-graph outputs against this repo's JAX
+reimplementations under shared weights:
+
+- YOLOv3: the reference `yolo/darknet.py:319-432` (Darknet.forward +
+  load_weights) built from the real `yolo/cfg/yolov3-single.cfg`, fed
+  weights written by `yolov3.save_darknet_weights` — pins both the .weights
+  byte contract and the 75-conv graph wiring + head decode in one shot.
+- FastPose: the reference `KPD/src/models/FastPose.py:9-35` (SE-ResNet101 +
+  DUC) with a random torch init converted through
+  `kpd.torch_state_dict_to_params` — pins the state_dict name map and the
+  full backbone wiring.
+
+The reference code is torch-0.4-era and assumes CUDA; shims live HERE (a
+`.cuda()` no-op patch and a fake `opt` module), never in the reference tree.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference/3_6Dpose_estimator"
+REF_CFG = os.path.join(REF, "yolo", "cfg", "yolov3-single.cfg")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference tree not mounted")
+
+
+@pytest.fixture()
+def cuda_shim(monkeypatch):
+    """Make the reference's unconditional `.cuda()` calls CPU no-ops."""
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self,
+                        raising=False)
+    monkeypatch.setattr(torch.nn.Module, "cuda", lambda self, *a, **k: self,
+                        raising=False)
+
+
+def _import_ref_darknet():
+    sys.path.insert(0, REF)
+    try:
+        from yolo import darknet as ref_darknet  # noqa: F401
+    finally:
+        sys.path.remove(REF)
+    return ref_darknet
+
+
+def _import_ref_fastpose():
+    """Import the reference FastPose with an `opt` shim (the reference's
+    KPD/src/opt.py parses sys.argv at import time, which pytest owns)."""
+    import types
+
+    kpd_src = os.path.join(REF, "KPD", "src")
+    fake_opt = types.ModuleType("opt")
+    fake_opt.opt = types.SimpleNamespace(nClasses=50)
+    saved = sys.modules.get("opt")
+    sys.modules["opt"] = fake_opt
+    sys.path.insert(0, kpd_src)
+    try:
+        from models.FastPose import createModel
+    finally:
+        sys.path.remove(kpd_src)
+        if saved is not None:
+            sys.modules["opt"] = saved
+        else:
+            sys.modules.pop("opt", None)
+    return createModel
+
+
+class TestDarknetFullGraphParity:
+    """vs `yolo/darknet.py` Darknet on the real yolov3-single.cfg."""
+
+    @pytest.mark.slow
+    def test_decoded_detections_match(self, tmp_path, cuda_shim):
+        from betapose_tpu.models import yolov3 as yolo_mod
+
+        ref_darknet = _import_ref_darknet()
+        with open(REF_CFG) as f:
+            cfg_text = f.read()
+        spec = yolo_mod.build_spec(cfg_text)
+
+        # Random weights from OUR stack, round-tripped through the darknet
+        # .weights byte format into the REFERENCE loader.  BN scales are
+        # damped to 0.7 so residual-shortcut variance growth over 75 layers
+        # doesn't drive exp(tw) to inf (raw head std is ~2/0.7/0.1 at this
+        # damping — activations stay O(1) and every layer contributes).
+        params = list(yolo_mod.init_params(jax.random.PRNGKey(7), spec))
+        for i, l in enumerate(spec.layers):
+            if l.kind == "conv" and l.batch_normalize:
+                p = dict(params[i])
+                p["bn_scale"] = p["bn_scale"] * 0.7
+                params[i] = p
+        wpath = str(tmp_path / "parity.weights")
+        yolo_mod.save_darknet_weights(spec, params, wpath, seen=123)
+
+        ref_net = ref_darknet.Darknet(REF_CFG, reso=416)
+        ref_net.load_weights(wpath)
+        ref_net.eval()
+
+        rng = np.random.default_rng(0)
+        img = rng.random((1, 416, 416, 3)).astype(np.float32)
+        with torch.no_grad():
+            ref_det = ref_net(torch.from_numpy(
+                img.transpose(0, 3, 1, 2))).numpy()
+
+        ours = np.asarray(jax.jit(
+            lambda p, x: yolo_mod.forward(spec, p, x, 416, decode=True)
+        )(params, jnp.asarray(img)))
+
+        assert ours.shape == ref_det.shape, (ours.shape, ref_det.shape)
+        # xy are sigmoid-bounded grid offsets in px; wh pass through exp so
+        # compare relative; obj/class are sigmoids in [0,1].
+        np.testing.assert_allclose(ours[..., :2], ref_det[..., :2],
+                                   rtol=1e-4, atol=1e-2)
+        np.testing.assert_allclose(ours[..., 2:4], ref_det[..., 2:4],
+                                   rtol=3e-3, atol=1e-3)
+        np.testing.assert_allclose(ours[..., 4:], ref_det[..., 4:],
+                                   rtol=1e-3, atol=1e-4)
+        # Discrimination guard: the comparison must cover varied activations,
+        # not saturated constants.
+        assert np.std(ref_det[..., 4]) > 0.05
+
+    def test_reference_loader_reads_our_weights_header(self, tmp_path,
+                                                       cuda_shim):
+        """Cheap non-slow cousin: byte-exact header + first-layer weights
+        as seen by the reference loader."""
+        from betapose_tpu.models import yolov3 as yolo_mod
+        from betapose_tpu.models.darknet_cfg import make_yolov3_cfg
+
+        spec = yolo_mod.build_spec(make_yolov3_cfg(num_classes=1))
+        params = yolo_mod.init_params(jax.random.PRNGKey(3), spec)
+        wpath = str(tmp_path / "hdr.weights")
+        yolo_mod.save_darknet_weights(spec, params, wpath, seen=77)
+        hdr = np.fromfile(wpath, dtype=np.int32, count=4)
+        assert list(hdr) == [0, 1, 0, 77]
+        loaded, header = yolo_mod.load_darknet_weights(spec, wpath)
+        assert int(header[3]) == 77
+        np.testing.assert_array_equal(np.asarray(loaded[0]["w"]),
+                                      np.asarray(params[0]["w"]))
+
+    def test_official_uint64_seen_header(self, tmp_path):
+        """Official release files (major*10+minor >= 2) carry a 20-byte
+        header with uint64 `seen` (`parser.c:1167-1176`); loading one must
+        not shift the float stream by 4 bytes."""
+        from betapose_tpu.models import yolov3 as yolo_mod
+        from betapose_tpu.models.darknet_cfg import make_yolov3_cfg
+
+        spec = yolo_mod.build_spec(make_yolov3_cfg(num_classes=1))
+        params = yolo_mod.init_params(jax.random.PRNGKey(5), spec)
+        w16 = str(tmp_path / "v1.weights")
+        yolo_mod.save_darknet_weights(spec, params, w16, seen=0)
+        with open(w16, "rb") as f:
+            f.seek(16)
+            stream = f.read()
+        w20 = str(tmp_path / "v2.weights")
+        with open(w20, "wb") as f:
+            f.write(np.array([0, 2, 0], np.int32).tobytes())
+            f.write(np.array([2 ** 33 + 5], np.uint64).tobytes())
+            f.write(stream)
+        loaded, header = yolo_mod.load_darknet_weights(spec, w20)
+        assert int(header[1]) == 2 and int(header[3]) == 2 ** 33 + 5
+        for li, l in enumerate(spec.layers):
+            if l.kind != "conv":
+                continue
+            np.testing.assert_array_equal(np.asarray(loaded[li]["w"]),
+                                          np.asarray(params[li]["w"]))
+
+
+class TestFastPoseFullGraphParity:
+    """vs `KPD/src/models/FastPose.py` SE-ResNet101+DUC under a real torch
+    state_dict (retires the circular roundtrip-only converter test)."""
+
+    @pytest.mark.slow
+    def test_heatmaps_match(self, cuda_shim):
+        from betapose_tpu.models import kpd as kpd_mod
+
+        createModel = _import_ref_fastpose()
+        torch.manual_seed(0)
+        ref = createModel()
+        ref.eval()
+        sd = ref.state_dict()
+        assert any(k.endswith("num_batches_tracked") for k in sd), \
+            "expected modern-torch BN buffers in the state_dict"
+
+        params = kpd_mod.torch_state_dict_to_params(sd, n_classes=50,
+                                                    arch="resnet101")
+
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((2, 320, 256, 3)).astype(np.float32)
+        with torch.no_grad():
+            ref_hm = ref(torch.from_numpy(
+                x.transpose(0, 3, 1, 2))).numpy()
+
+        ours = np.asarray(jax.jit(
+            lambda p, v: kpd_mod.forward(p, v))(params, jnp.asarray(x)))
+        ours_nchw = ours.transpose(0, 3, 1, 2)
+
+        assert ours_nchw.shape == ref_hm.shape
+        np.testing.assert_allclose(ours_nchw, ref_hm, rtol=1e-3, atol=1e-4)
+
+    @pytest.mark.slow
+    def test_s2d_stem_matches_torch_too(self, cuda_shim):
+        """The space-to-depth stem rewrite must stay exact vs torch."""
+        from betapose_tpu.models import kpd as kpd_mod
+
+        createModel = _import_ref_fastpose()
+        torch.manual_seed(2)
+        ref = createModel()
+        ref.eval()
+        params = kpd_mod.torch_state_dict_to_params(
+            ref.state_dict(), n_classes=50, arch="resnet101")
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((1, 320, 256, 3)).astype(np.float32)
+        with torch.no_grad():
+            ref_hm = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        ours = np.asarray(jax.jit(
+            lambda p, v: kpd_mod.forward(p, v, s2d_stem=True)
+        )(params, jnp.asarray(x))).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(ours, ref_hm, rtol=1e-3, atol=1e-4)
