@@ -1,23 +1,58 @@
-"""End-to-end throughput benchmark: frames/sec of the fused pose pipeline
+"""End-to-end throughput benchmark of the fused pose pipeline
 (YOLOv3-416 detect -> crop -> FastPose SE-ResNet101 -> heatmap decode ->
 PnP) on LineMod-shaped 480x640 frames, single chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is value / 500 (the >=500 fps/chip north star, BASELINE.md).
+Measurements (all printed in ONE JSON line):
+- value / e2e_fps: the HONEST feed path — PNG files on disk, host decode
+  via PrefetchLoader threads, H2D transfer, device compute, D2H of pose
+  results (what the reference's 4-process pipeline exists to optimize,
+  `dataloader.py:90-763`).
+- steady_state_fps: device compute with a device-resident input batch —
+  chip throughput isolated from the feed path.
+- host_decode_fps / h2d_mbps: feed-path component diagnostics.
+
+Environment caveat measured here: through the axon remote-TPU tunnel the
+host->device commit path sustains only ~36 MB/s (0.9 MB/frame => ~40 fps
+hard cap on e2e regardless of compute), and buffers commit lazily on first
+executable use. On a local v5e host the same feed rides PCIe at GB/s and
+the chip (steady_state_fps) is the binding constraint. Both numbers are
+reported so neither masks the other.
 """
 
 import json
 import os
 import sys
+import tempfile
 import time
 
 import numpy as np
+
+
+def _make_png_pool(pool_dir, n_frames, rng):
+    """Synthetic LineMod-like PNGs: textured blobs + sensor noise, ~500 KB
+    each (realistic PNG entropy, not flat-color-cheap)."""
+    import cv2
+    base = np.zeros((480, 640, 3), np.uint8)
+    for _ in range(25):
+        c = tuple(int(v) for v in rng.integers(0, 255, 3))
+        cv2.circle(base, (int(rng.integers(0, 640)), int(rng.integers(0, 480))),
+                   int(rng.integers(10, 90)), c, -1)
+    base = cv2.GaussianBlur(base, (5, 5), 1.5)
+    paths = []
+    for i in range(n_frames):
+        noise = rng.integers(-6, 7, (480, 640, 3)).astype(np.int16)
+        img = np.clip(base.astype(np.int16) + noise, 0, 255).astype(np.uint8)
+        p = os.path.join(pool_dir, f"{i:06d}.png")
+        cv2.imwrite(p, img)
+        paths.append(p)
+    return paths
 
 
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "64"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
+    e2e_frames = int(os.environ.get("BENCH_E2E_FRAMES", str(batch * 6)))
 
     import jax
     import jax.numpy as jnp
@@ -26,6 +61,7 @@ def main():
     from betapose_tpu.models import yolov3 as yolo_mod
     from betapose_tpu.models import kpd as kpd_mod
     from betapose_tpu.models.darknet_cfg import make_yolov3_cfg
+    from betapose_tpu.data.loader import PrefetchLoader
     from betapose_tpu.eval.pipeline import PosePipeline, PipelineConfig
 
     spec = yolo_mod.build_spec(make_yolov3_cfg(num_classes=1))
@@ -44,23 +80,67 @@ def main():
     frames = rng.integers(0, 255, (batch, 480, 640, 3), dtype=np.uint8)
     frames_dev = jax.device_put(jnp.asarray(frames))
 
-    # compile + warmup
+    # ---- compile + warmup ----
     for _ in range(warmup):
         out = pipe(frames_dev)
-    jax.block_until_ready(out)
+    jax.device_get(out["cam_t"])
 
+    # ---- steady state: device-resident batch, compute only ----
+    # (device_get of a small output forces execution even through the lazy
+    # tunnel, where block_until_ready alone can return early)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = pipe(frames_dev)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    jax.device_get(out["cam_t"])
+    steady_fps = batch * iters / (time.perf_counter() - t0)
 
-    fps = batch * iters / dt
+    # ---- feed-path diagnostics ----
+    # h2d: fresh host buffers committed through a trivial executable
+    probe = jax.jit(lambda x: x[0, 0, 0, 0])
+    jax.device_get(probe(jax.device_put(frames)))
+    t0 = time.perf_counter()
+    n_h2d = 3
+    for i in range(n_h2d):
+        jax.device_get(probe(jax.device_put(frames + np.uint8(i + 1))))
+    h2d_mbps = frames.nbytes * n_h2d / (time.perf_counter() - t0) / 1e6
+
+    with tempfile.TemporaryDirectory(prefix="bench_pngs_") as pool_dir:
+        paths = _make_png_pool(pool_dir, e2e_frames, rng)
+
+        # host decode throughput (threads; decode releases the GIL)
+        loader = PrefetchLoader(paths, batch)
+        t0 = time.perf_counter()
+        for fr in loader:
+            pass
+        host_decode_fps = len(paths) / (time.perf_counter() - t0)
+
+        # one warm pass so tail-batch shapes (if any) are compiled
+        for fr in PrefetchLoader(paths[:batch], batch):
+            jax.device_get(pipe(fr)["cam_t"])
+
+        # ---- honest e2e: disk -> decode -> H2D -> compute -> D2H ----
+        t0 = time.perf_counter()
+        pending = None
+        for fr in PrefetchLoader(paths, batch):   # software pipelining
+            out = pipe(fr)
+            if pending is not None:
+                jax.device_get(pending)
+            pending = out
+        jax.device_get(pending)
+        e2e_fps = len(paths) / (time.perf_counter() - t0)
+
     print(json.dumps({
         "metric": "e2e_linemod_pose_fps_per_chip",
-        "value": round(fps, 2),
+        "value": round(e2e_fps, 2),
         "unit": "frames/sec",
-        "vs_baseline": round(fps / 500.0, 4),
+        "vs_baseline": round(e2e_fps / 500.0, 4),
+        "steady_state_fps": round(steady_fps, 2),
+        "host_decode_fps": round(host_decode_fps, 2),
+        "h2d_mbps": round(h2d_mbps, 1),
+        "note": ("e2e includes disk PNG decode + H2D; through the axon "
+                 "remote-TPU tunnel H2D sustains ~36 MB/s (~40 fps cap at "
+                 "0.9 MB/frame) — on a local v5e host PCIe feeds at GB/s "
+                 "and steady_state_fps is the binding number."),
     }))
 
 

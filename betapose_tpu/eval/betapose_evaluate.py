@@ -73,7 +73,8 @@ def load_sixd_models(base_path, obj_id, total_kp=TOTAL_KP_NUMBER):
     return bench
 
 
-def build_pipeline(cfg: Config, args, kp_vertices, cam_K):
+def build_pipeline(cfg: Config, args, kp_vertices, cam_K,
+                   left_keypoints: int | None = None):
     yolo_cfg_text = (open(args.yolo_cfg).read() if args.yolo_cfg
                      else make_yolov3_cfg(num_classes=1,
                                           width=cfg.model.inp_dim,
@@ -112,12 +113,17 @@ def build_pipeline(cfg: Config, args, kp_vertices, cam_K):
         left_keypoints=TOTAL_KP_NUMBER,  # betapose_evaluate.py:138 passes 50
         preproc=args.preproc)
     return PosePipeline(spec, yolo_params, kpd_params, kp_vertices, cam_K,
-                        pcfg)
+                        pcfg, left_keypoints=left_keypoints)
 
 
 def collect_results(pipeline, im_names, batch_size, profile=False):
     """Run the fused pipeline over all frames; build the reference-format
-    final_result list."""
+    final_result list.
+
+    profile=True runs the pipeline's three jitted sub-stages separately with
+    device sync between them and prints per-stage means — the reference's
+    det/pose/post readout (`betapose_evaluate.py:132-136,181-186`). The
+    non-profile path keeps the fused single-graph step."""
     loader = PrefetchLoader(im_names, batch_size)
     final_result = []
     prof = RuntimeProfile()
@@ -128,7 +134,10 @@ def collect_results(pipeline, im_names, batch_size, profile=False):
     def batched_outputs():
         pending = None
         for bi, frames in enumerate(loader):
-            out = pipeline(frames)          # async dispatch
+            if profile:
+                out = pipeline.profiled_call(frames, prof)
+            else:
+                out = pipeline(frames)      # async dispatch
             if pending is not None:
                 yield pending[0], {k: np.asarray(v)
                                    for k, v in pending[1].items()}
@@ -137,7 +146,6 @@ def collect_results(pipeline, im_names, batch_size, profile=False):
             yield pending[0], {k: np.asarray(v) for k, v in pending[1].items()}
 
     for bi, out in batched_outputs():
-        prof.buckets.setdefault("dt", []).append(0.0)
         n_valid = loader.batch_sizes[bi]
         for j in range(n_valid):
             im_name = os.path.basename(im_names[idx])
@@ -161,6 +169,12 @@ def collect_results(pipeline, im_names, batch_size, profile=False):
     wall = time.time() - t0
     fps = len(im_names) / wall if wall > 0 else 0.0
     if profile:
+        # Reference readout format (betapose_evaluate.py:181-186); times are
+        # per-batch means here (the reference's are per-frame of batch 1).
+        print("det time: {dt:.4f} | pose time: {pt:.4f} | "
+              "post processing: {pn:.4f}".format(
+                  dt=prof.mean("dt"), pt=prof.mean("pt"),
+                  pn=prof.mean("pn")))
         print(f"processed {len(im_names)} frames in {wall:.2f}s "
               f"({fps:.1f} fps)")
     return final_result, fps

@@ -24,9 +24,8 @@ from betapose_tpu.data import sixd as sixd_mod
 from betapose_tpu.data.loader import list_images
 from betapose_tpu.geometry import metrics
 from betapose_tpu.eval.betapose_evaluate import (
-    load_sixd_models, build_pipeline, collect_results, TOTAL_KP_NUMBER)
+    load_sixd_models, build_pipeline, collect_results)
 from betapose_tpu.eval import results as results_mod
-from betapose_tpu.eval.pipeline import PipelineConfig
 
 OCCLUSION_SEQ = 2       # occlusion GT lives in scene 02
 PIXEL_THRESH = 20.0     # occlusion_betapose_evaluate.py:255
@@ -99,12 +98,9 @@ def main(argv=None):
     im_names = list_images(cfg.runtime.input_path, cfg.runtime.input_list)
     os.makedirs(cfg.runtime.output_path, exist_ok=True)
 
-    pipeline = build_pipeline(cfg, args, kp_vertices, bench.cam)
     # occlusion path prunes to left_keypoints before PnP (dataloader.py:718)
-    pipeline.cfg.left_keypoints = min(cfg.left_keypoints, TOTAL_KP_NUMBER)
-    import jax
-    from betapose_tpu.eval.pipeline import make_pose_step
-    pipeline._step = jax.jit(make_pose_step(pipeline.spec, pipeline.cfg))
+    pipeline = build_pipeline(cfg, args, kp_vertices, bench.cam,
+                              left_keypoints=cfg.left_keypoints)
 
     final_result, fps = collect_results(
         pipeline, im_names, max(cfg.detection.det_batch, 1),

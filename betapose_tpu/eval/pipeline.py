@@ -51,19 +51,17 @@ class PipelineConfig:
     pallas_decode: bool | None = None  # None = auto (TPU backend only)
 
 
-def make_pose_step(yolo_spec, cfg: PipelineConfig):
-    """Build the fused step fn:
+def make_det_stage(yolo_spec, cfg: PipelineConfig):
+    """Stage 1 — detection + crop: frames -> boxes + KPD crops.
 
-    step(yolo_params, kpd_params, frames_u8 [B,H0,W0,3] RGB, kp3d [K,3],
-         cam_K [3,3]) -> dict of per-frame outputs.
-    """
+    Covers the reference's DetectionLoader + DetectionProcessor (the 'dt'
+    profiling bucket, `betapose_evaluate.py:132-136`)."""
     cdtype = jnp.dtype(cfg.compute_dtype)
 
-    def step(yolo_params, kpd_params, frames, kp3d, cam_K):
-        b, h0, w0, _ = frames.shape
+    def det_stage(yolo_params, frames):
+        _, h0, w0, _ = frames.shape
         imgs = frames.astype(jnp.float32) / 255.0          # RGB [0,1]
 
-        # ---- detection ----
         if cfg.preproc == "stretch":
             yolo_in = image_ops.resize_bilinear_matmul(
                 imgs, cfg.reso, cfg.reso)
@@ -90,26 +88,44 @@ def make_pose_step(yolo_spec, cfg: PipelineConfig):
             return crops[0], pt1[0], pt2[0]
 
         crops, pt1, pt2 = jax.vmap(crop_one)(imgs, boxes)
+        return {"boxes": boxes, "obj_score": best["obj_score"],
+                "det_valid": best["valid"], "crops": crops,
+                "pt1": pt1, "pt2": pt2}
 
-        # ---- keypoint heatmaps ----
+    return det_stage
+
+
+def make_pose_stage(cfg: PipelineConfig):
+    """Stage 2 — KPD heatmap inference (the 'pt' bucket)."""
+    cdtype = jnp.dtype(cfg.compute_dtype)
+
+    def pose_stage(kpd_params, crops):
         # (KPD's 7x7/2 stem measured no faster via s2d — XLA already
         # handles it; the transform stays available in models/kpd.py)
         hm_nhwc = kpd_mod.forward(kpd_params, crops.astype(cdtype))
-        hm = hm_nhwc.astype(jnp.float32).transpose(0, 3, 1, 2)  # [B,K,H,W]
+        return hm_nhwc.astype(jnp.float32).transpose(0, 3, 1, 2)  # [B,K,H,W]
 
-        # ---- decode + pose scoring ----
+    return pose_stage
+
+
+def make_post_stage(cfg: PipelineConfig):
+    """Stage 3 — decode + pose-NMS + keypoint pruning + PnP (the 'pn'
+    bucket; the reference's DataWriter.update chain)."""
+
+    def post_stage(hm, det, kp3d, cam_K):
+        b = hm.shape[0]
         use_pallas = cfg.pallas_decode
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         preds_hm, preds_img, maxval = hm_ops.decode_heatmaps(
-            hm, pt1, pt2, cfg.inp_h, cfg.inp_w, cfg.out_h, cfg.out_w,
-            use_pallas=use_pallas)
+            hm, det["pt1"], det["pt2"], cfg.inp_h, cfg.inp_w,
+            cfg.out_h, cfg.out_w, use_pallas=use_pallas)
 
         def nms_one(box, obj_score, kp, sc):
             return pnms.pose_nms_single(box, obj_score, kp, sc)
 
         keypoints, kp_scores, proposal, nms_valid = jax.vmap(nms_one)(
-            boxes, best["obj_score"], preds_img, maxval)
+            det["boxes"], det["obj_score"], preds_img, maxval)
 
         # ---- keypoint pruning to left_keypoints (dataloader.py:718-724) ----
         if cfg.left_keypoints < cfg.n_kp:
@@ -129,16 +145,34 @@ def make_pose_step(yolo_spec, cfg: PipelineConfig):
                 kp3d_sel, kp2d_sel)
 
         return {
-            "boxes": boxes,                       # [B,4] xyxy image coords
-            "obj_score": best["obj_score"],       # [B]
-            "det_valid": best["valid"],           # [B]
+            "boxes": det["boxes"],                # [B,4] xyxy image coords
+            "obj_score": det["obj_score"],        # [B]
+            "det_valid": det["det_valid"],        # [B]
             "keypoints": keypoints,               # [B,K,2] (-0.3 offset applied)
             "kp_scores": kp_scores,               # [B,K]
             "proposal_score": proposal,           # [B]
-            "pose_valid": best["valid"] & nms_valid,
+            "pose_valid": det["det_valid"] & nms_valid,
             "cam_R": R,                           # [B,3,3]
             "cam_t": t,                           # [B,3]
         }
+
+    return post_stage
+
+
+def make_pose_step(yolo_spec, cfg: PipelineConfig):
+    """Build the fused step fn (det -> pose -> post in ONE XLA graph):
+
+    step(yolo_params, kpd_params, frames_u8 [B,H0,W0,3] RGB, kp3d [K,3],
+         cam_K [3,3]) -> dict of per-frame outputs.
+    """
+    det_stage = make_det_stage(yolo_spec, cfg)
+    pose_stage = make_pose_stage(cfg)
+    post_stage = make_post_stage(cfg)
+
+    def step(yolo_params, kpd_params, frames, kp3d, cam_K):
+        det = det_stage(yolo_params, frames)
+        hm = pose_stage(kpd_params, det["crops"])
+        return post_stage(hm, det, kp3d, cam_K)
 
     return step
 
@@ -152,8 +186,15 @@ class PosePipeline:
     """
 
     def __init__(self, yolo_cfg, yolo_params, kpd_params, kp3d, cam_K,
-                 cfg: PipelineConfig | None = None):
+                 cfg: PipelineConfig | None = None,
+                 left_keypoints: int | None = None):
+        """left_keypoints: overrides cfg.left_keypoints — the occlusion eval's
+        `--left_keypoints` PnP pruning knob (`occlusion_betapose_evaluate.py:
+        139`, reference `dataloader.py:718-724`)."""
         self.cfg = cfg or PipelineConfig()
+        if left_keypoints is not None:
+            self.cfg = dataclasses.replace(
+                self.cfg, left_keypoints=min(left_keypoints, self.cfg.n_kp))
         self.spec = (yolo_cfg if isinstance(yolo_cfg, yolo_mod.NetworkSpec)
                      else yolo_mod.build_spec(yolo_cfg))
         self.yolo_params = yolo_params
@@ -161,24 +202,65 @@ class PosePipeline:
         self.kp3d = jnp.asarray(kp3d, jnp.float32)
         self.cam_K = jnp.asarray(cam_K, jnp.float32)
         self._step = jax.jit(make_pose_step(self.spec, self.cfg))
+        self._stages = None  # lazily jitted per-stage fns for --profile
+
+    @staticmethod
+    def _is_oom(e: Exception) -> bool:
+        """True only for a real XLA out-of-memory: the XLA runtime error type
+        with the RESOURCE_EXHAUSTED status code as the message prefix (a
+        transient tunnel HTTP 500 merely *containing* that substring must
+        not trigger the batch-halving fallback)."""
+        try:
+            from jaxlib.xla_client import XlaRuntimeError
+        except ImportError:  # pragma: no cover - jaxlib layout drift
+            from jax.errors import JaxRuntimeError as XlaRuntimeError
+        return (isinstance(e, XlaRuntimeError)
+                and str(e).startswith("RESOURCE_EXHAUSTED"))
 
     def __call__(self, frames_u8: np.ndarray):
         """frames_u8: [B, H, W, 3] RGB uint8. Returns dict of host arrays.
 
         On RESOURCE_EXHAUSTED the batch is split in half and retried — the
         TPU analog of the reference's CUDA-OOM fallback
-        (`train_KPD/src/evaluation.py:95-106`)."""
+        (`train_KPD/src/evaluation.py:95-106`).
+
+        The explicit device_put matters: letting jit transfer a host numpy
+        arg implicitly is ~70x slower through the remote-compile TPU tunnel
+        (measured 3.1 s vs 45 ms for a 59 MB batch)."""
         try:
             return self._step(self.yolo_params, self.kpd_params,
-                              jnp.asarray(frames_u8), self.kp3d, self.cam_K)
-        except Exception as e:  # jaxlib.XlaRuntimeError has no stable type
-            if "RESOURCE_EXHAUSTED" not in str(e) or len(frames_u8) < 2:
+                              jax.device_put(jnp.asarray(frames_u8)),
+                              self.kp3d, self.cam_K)
+        except Exception as e:
+            if not self._is_oom(e) or len(frames_u8) < 2:
                 raise
             half = len(frames_u8) // 2
             out1 = self(frames_u8[:half])
             out2 = self(frames_u8[half:])
             return {k: jnp.concatenate([out1[k], out2[k]], axis=0)
                     for k in out1}
+
+    def profiled_call(self, frames_u8: np.ndarray, prof):
+        """Like __call__ but runs the three jitted sub-stages separately,
+        blocking between them to fill `prof`'s dt/pt/pn buckets (the
+        reference's per-stage readout, `betapose_evaluate.py:132-136`).
+        Slightly slower than the fused step (three dispatches + syncs)."""
+        if self._stages is None:
+            self._stages = (
+                jax.jit(make_det_stage(self.spec, self.cfg)),
+                jax.jit(make_pose_stage(self.cfg)),
+                jax.jit(make_post_stage(self.cfg)),
+            )
+        det_fn, pose_fn, post_fn = self._stages
+        frames = jax.device_put(jnp.asarray(frames_u8))
+        with prof.bucket("dt"):
+            det = jax.block_until_ready(det_fn(self.yolo_params, frames))
+        with prof.bucket("pt"):
+            hm = jax.block_until_ready(pose_fn(self.kpd_params, det["crops"]))
+        with prof.bucket("pn"):
+            out = jax.block_until_ready(
+                post_fn(hm, det, self.kp3d, self.cam_K))
+        return out
 
     def run_batches(self, frame_iter, progress=None):
         """Run over an iterator of uint8 frame batches with software
