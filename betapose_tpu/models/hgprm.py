@@ -71,23 +71,22 @@ def _conv(x, w, b=None, stride=1, pad=0):
     return y
 
 
-_TRAIN_BN = False  # module flag threaded by forward(train=...)
-
-
-def _bn(x, p):
-    if _TRAIN_BN:
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=(0, 1, 2))
-        var = jnp.var(xf, axis=(0, 1, 2))
-        y = (xf - mean) * jax.lax.rsqrt(var + BN_EPS) * p["scale"] + p["bias"]
-        return y.astype(x.dtype)
+def _bn_infer(x, p):
     scale = p["scale"] / jnp.sqrt(p["var"] + BN_EPS)
     return (x.astype(jnp.float32) * scale
             + (p["bias"] - p["mean"] * scale)).astype(x.dtype)
 
 
-def _bn_relu(x, p):
-    return jax.nn.relu(_bn(x, p))
+def _bn_train(x, p):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(0, 1, 2))
+    var = jnp.var(xf, axis=(0, 1, 2))
+    y = (xf - mean) * jax.lax.rsqrt(var + BN_EPS) * p["scale"] + p["bias"]
+    return y.astype(x.dtype)
+
+
+def _bn_relu(x, p, bn=_bn_infer):
+    return jax.nn.relu(bn(x, p))
 
 
 def _maxpool2(x):
@@ -195,7 +194,7 @@ def init_prm_residual(kg, num_in, num_out, net_type="preact",
     return p
 
 
-def prm_residual(p, x):
+def prm_residual(p, x, bn=_bn_infer):
     stride = _sv(p["stride"])
     c = _sv(p["C"])
     h, w = x.shape[1] // stride, x.shape[2] // stride
@@ -203,17 +202,17 @@ def prm_residual(p, x):
     def preact(x, which):
         if _sv(p["net_type"]) == "no_preact":
             return x
-        return _bn_relu(x, p[which])
+        return _bn_relu(x, p[which], bn)
 
     # branch 1
     b1 = preact(x, "pre1")
     b1 = _conv(b1, p["b1_conv1"]["w"], p["b1_conv1"]["b"])
-    b1 = _bn_relu(b1, p["b1_bn"])
+    b1 = _bn_relu(b1, p["b1_bn"], bn)
     b1 = _conv(b1, p["b1_conv2"]["w"], p["b1_conv2"]["b"], stride, 1)
     # branch 2 (pyramid)
     b2 = preact(x, "pre2")
     b2 = _conv(b2, p["b2_conv1"]["w"], p["b2_conv1"]["b"], stride)
-    b2 = _bn_relu(b2, p["b2_bn1"])
+    b2 = _bn_relu(b2, p["b2_bn1"], bn)
     sc = 2 ** (1 / c)
     py = None
     for i, conv in enumerate(p["pyra"]):
@@ -223,14 +222,14 @@ def prm_residual(p, x):
         s = _conv(s, conv["w"], conv["b"], 1, 1)
         s = _bilinear_resize_ac(s, h, w)
         py = s if py is None else py + s
-    b2 = _bn_relu(py, p["b2_bn2"])
+    b2 = _bn_relu(py, p["b2_bn2"], bn)
     b2 = _conv(b2, p["b2_conv2"]["w"], p["b2_conv2"]["b"])
     # merge
-    m = _bn_relu(b1 + b2, p["m_bn"])
+    m = _bn_relu(b1 + b2, p["m_bn"], bn)
     m = _conv(m, p["m_conv"]["w"], p["m_conv"]["b"])
     # skip
     if "skip_conv" in p:
-        skip = _bn_relu(x, p["skip_bn"])
+        skip = _bn_relu(x, p["skip_bn"], bn)
         skip = _conv(skip, p["skip_conv"]["w"], p["skip_conv"]["b"], stride)
     else:
         skip = x
@@ -259,24 +258,25 @@ def init_plain_residual(kg, num_in, num_out, net_type="preact",
     return p
 
 
-def plain_residual(p, x):
+def plain_residual(p, x, bn=_bn_infer):
     stride = _sv(p["stride"])
-    y = x if _sv(p["net_type"]) == "no_preact" else _bn_relu(x, p["pre"])
+    y = x if _sv(p["net_type"]) == "no_preact" else _bn_relu(x, p["pre"], bn)
     y = _conv(y, p["conv1"]["w"], p["conv1"]["b"])
-    y = _bn_relu(y, p["bn1"])
+    y = _bn_relu(y, p["bn1"], bn)
     y = _conv(y, p["conv2"]["w"], p["conv2"]["b"], stride, 1)
-    y = _bn_relu(y, p["bn2"])
+    y = _bn_relu(y, p["bn2"], bn)
     y = _conv(y, p["conv3"]["w"], p["conv3"]["b"])
     if "skip_conv" in p:
-        skip = _bn_relu(x, p["skip_bn"])
+        skip = _bn_relu(x, p["skip_bn"], bn)
         skip = _conv(skip, p["skip_conv"]["w"], p["skip_conv"]["b"], stride)
     else:
         skip = x
     return y + skip
 
 
-def _residual_apply(p, x):
-    return plain_residual(p, x) if _sv(p.get("plain")) else prm_residual(p, x)
+def _residual_apply(p, x, bn=_bn_infer):
+    return plain_residual(p, x, bn) if _sv(p.get("plain")) \
+        else prm_residual(p, x, bn)
 
 
 # ---------------------------------------------------------------------------
@@ -308,20 +308,20 @@ def init_hourglass(kg, n, n_feats, n_modules, base_width, cardinality):
     return p
 
 
-def hourglass(p, x):
+def hourglass(p, x, bn=_bn_infer):
     up1 = x
     for r in p["up1"]:
-        up1 = _residual_apply(r, up1)
+        up1 = _residual_apply(r, up1, bn)
     low = _maxpool2(x)
     for r in p["low1"]:
-        low = _residual_apply(r, low)
+        low = _residual_apply(r, low, bn)
     if "low2" in p:
-        low = hourglass(p["low2"], low)
+        low = hourglass(p["low2"], low, bn)
     else:
         for r in p["low2_res"]:
-            low = _residual_apply(r, low)
+            low = _residual_apply(r, low, bn)
     for r in p["low3"]:
-        low = _residual_apply(r, low)
+        low = _residual_apply(r, low, bn)
     low = _upsample_nearest2(low)
     return up1 + low
 
@@ -378,30 +378,27 @@ def forward(params, x, all_heads: bool = False, train: bool = False,
     NOT rolled during training (the deep nested structure makes per-site
     threading expensive); calibrate them post-hoc with `calibrate_bn`
     before running inference.  bn_stats is accepted for interface parity
-    with kpd.forward and ignored."""
-    global _TRAIN_BN
-    _TRAIN_BN = bool(train)
-    try:
-        return _forward_impl(params, x, all_heads)
-    finally:
-        _TRAIN_BN = False
+    with kpd.forward and ignored.  The mode is threaded explicitly as the
+    BN function (no module-level state — safe under concurrent tracing)."""
+    return _forward_impl(params, x, all_heads,
+                         bn=_bn_train if train else _bn_infer)
 
 
-def _forward_impl(params, x, all_heads: bool = False):
+def _forward_impl(params, x, all_heads: bool = False, bn=_bn_infer):
     y = _conv(x, params["conv1"]["w"], params["conv1"]["b"], 2, 3)
-    y = _bn_relu(y, params["bn1"])
-    y = prm_residual(params["r1"], y)
+    y = _bn_relu(y, params["bn1"], bn)
+    y = prm_residual(params["r1"], y, bn)
     y = _maxpool2(y)
-    y = prm_residual(params["r4"], y)
-    inter = prm_residual(params["r5"], y)
+    y = prm_residual(params["r4"], y, bn)
+    inter = prm_residual(params["r5"], y, bn)
 
     outs = []
     n_stack = _sv(params["n_stack"])
     for i, st in enumerate(params["stacks"]):
-        lin = hourglass(st["hg"], inter)
-        lin = _bn_relu(lin, st["lin_bn1"])
+        lin = hourglass(st["hg"], inter, bn)
+        lin = _bn_relu(lin, st["lin_bn1"], bn)
         lin = _conv(lin, st["lin_conv"]["w"], st["lin_conv"]["b"])
-        lin = _bn_relu(lin, st["lin_bn2"])
+        lin = _bn_relu(lin, st["lin_bn2"], bn)
         out = _conv(lin, st["out_conv"]["w"], st["out_conv"]["b"])
         outs.append(out)
         if i < n_stack - 1:
@@ -417,8 +414,6 @@ def calibrate_bn(params, x, momentum: float = 1.0):
     (momentum=1.0 replaces them outright).  Returns new params."""
     stats = []
 
-    global _TRAIN_BN
-
     def record_bn(x, p):
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=(0, 1, 2))
@@ -427,15 +422,9 @@ def calibrate_bn(params, x, momentum: float = 1.0):
         y = (xf - mean) * jax.lax.rsqrt(var + BN_EPS) * p["scale"] + p["bias"]
         return y.astype(x.dtype)
 
-    # monkey-patch _bn for the traversal (params dicts are shared objects,
-    # so identity maps stats back onto the tree)
-    global _bn
-    orig = _bn
-    _bn = record_bn
-    try:
-        _forward_impl(params, x, all_heads=False)
-    finally:
-        _bn = orig
+    # the recorder is threaded as the bn function (params dicts are shared
+    # objects, so identity maps stats back onto the tree)
+    _forward_impl(params, x, all_heads=False, bn=record_bn)
 
     id_to_stats = {id(p): (m, v) for p, m, v in stats}
 

@@ -142,10 +142,14 @@ def make_train_step(tx, out_res_h: int = 80, donate: bool = True,
     return train_step
 
 
-def make_eval_step(out_res_h: int = 80):
+def make_eval_step(out_res_h: int = 80, forward_fn=None):
+    fwd = kpd_mod.forward if forward_fn is None else forward_fn
+
     @jax.jit
     def eval_step(params, batch):
-        out = kpd_mod.forward(params, batch["inps"])
+        out = fwd(params, batch["inps"])
+        if isinstance(out, (list, tuple)):
+            out = out[-1]
         loss = masked_mse_loss(out, batch["labels"], batch["set_mask"])
         acc, n = pck_accuracy(out * batch["set_mask"], batch["labels"],
                               out_res_h)

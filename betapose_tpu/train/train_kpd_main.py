@@ -77,6 +77,11 @@ def main(argv=None):
     parser = add_train_args(make_parser("Betapose-TPU KPD training"))
     args = parser.parse_args(argv)
 
+    if args.netType not in ("resnet50", "resnet101", "hgPRM"):
+        raise ValueError(
+            f"unsupported --netType {args.netType!r}: expected resnet50,"
+            " resnet101, or hgPRM")
+
     exp_dir = os.path.join(args.exp_root, args.dataset, args.expID)
     os.makedirs(exp_dir, exist_ok=True)
     log = MetricsLogger(os.path.join(args.tb_root, args.dataset, args.expID))
@@ -93,13 +98,39 @@ def main(argv=None):
         valid_ds = None
 
     n_kp = args.nClasses
-    arch = args.netType if args.netType in ("resnet50", "resnet101") \
-        else "resnet101"
-    params = kpd_mod.init_params(jax.random.PRNGKey(0), n_classes=n_kp,
-                                 arch=arch)
+    arch = args.netType
+    if arch == "hgPRM":
+        # PyraNet stacked hourglass (reference opt.py --netType hgPRM):
+        # intermediate supervision — the loss sums over all nStack heads
+        # (train=True returns all heads; eval uses the final head).
+        from betapose_tpu.models import hgprm
+        params = hgprm.init_params(
+            jax.random.PRNGKey(0), n_classes=n_kp, n_feats=args.nFeats,
+            n_stack=args.nStack, base_width=args.baseWidth,
+            cardinality=args.cardinality)
+
+        def forward_fn(p, x, train=False, bn_stats=None):
+            return hgprm.forward(p, x, all_heads=train, train=train,
+                                 bn_stats=bn_stats)
+
+        def load_params(path):
+            # hgPRM has no torch checkpoint contract (the reference fork
+            # never trained it); our own .npz pytrees only.
+            return ckpt.load_pytree_npz(path, params)
+    elif arch in ("resnet50", "resnet101"):
+        params = kpd_mod.init_params(jax.random.PRNGKey(0), n_classes=n_kp,
+                                     arch=arch)
+        forward_fn = None
+
+        def load_params(path):
+            return ckpt.load_kpd_checkpoint(path, n_kp, arch)
+    else:
+        raise ValueError(
+            f"unsupported --netType {arch!r}: expected resnet50, resnet101,"
+            " or hgPRM")
     start_epoch = args.epoch
     if args.loadModel:
-        params = ckpt.load_kpd_checkpoint(args.loadModel, n_kp, arch)
+        params = load_params(args.loadModel)
         print(f"Loading model from {args.loadModel}")
 
     tx = kpd_train.make_optimizer(args.optMethod, args.LR, args.momentum,
@@ -116,12 +147,13 @@ def main(argv=None):
              and f.split("_")[1].split(".")[0].isdigit()),
             key=lambda f: int(f.split("_")[1].split(".")[0]))
         if latest:
-            params = ckpt.load_kpd_checkpoint(
-                os.path.join(exp_dir, latest[-1]), n_kp, arch)
+            params = load_params(os.path.join(exp_dir, latest[-1]))
             start_epoch = int(latest[-1].split("_")[1].split(".")[0]) + 1
             print(f"Continuing from epoch {start_epoch}")
-    train_step = kpd_train.make_train_step(tx, out_res_h=args.outputResH)
-    eval_step = kpd_train.make_eval_step(out_res_h=args.outputResH)
+    train_step = kpd_train.make_train_step(tx, out_res_h=args.outputResH,
+                                           forward_fn=forward_fn)
+    eval_step = kpd_train.make_eval_step(out_res_h=args.outputResH,
+                                         forward_fn=forward_fn)
 
     mesh = mesh_mod.make_mesh(args.n_devices)
     params = mesh_mod.replicate(mesh, params)

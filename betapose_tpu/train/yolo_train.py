@@ -69,12 +69,32 @@ def lr_schedule(cfg: YoloTrainConfig):
     return lr
 
 
+def _leaf_key(path):
+    return getattr(path[-1], "key", None)
+
+
+def _decay_mask(params):
+    """darknet decays only conv weights (convolutional_layer.c
+    update_convolutional_layer: `axpy(-decay*batch, l.weights)`; biases and
+    BN scale/bias/stats are never decayed)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda pth, _: _leaf_key(pth) == "w", params)
+
+
+def _trainable_mask(params):
+    """BN rolling mean/var are buffers updated by apply_bn_updates, not
+    optimizer-driven parameters — keep SGD (and decay) off them."""
+    return jax.tree_util.tree_map_with_path(
+        lambda pth, _: _leaf_key(pth) not in ("bn_mean", "bn_var"), params)
+
+
 def make_optimizer(cfg: YoloTrainConfig):
     sched = lr_schedule(cfg)
-    return optax.chain(
-        optax.add_decayed_weights(cfg.decay),
+    tx = optax.chain(
+        optax.masked(optax.add_decayed_weights(cfg.decay), _decay_mask),
         optax.sgd(learning_rate=sched, momentum=cfg.momentum),
     )
+    return optax.masked(tx, _trainable_mask)
 
 
 # ---------------------------------------------------------------------------

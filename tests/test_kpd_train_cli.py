@@ -52,3 +52,35 @@ def test_train_cli_runs_and_resumes(tiny_kpd_data, tmp_path):
     assert (tmp_path / "tb" / "coco" / "t" / "metrics.jsonl").exists()
     # resume via --Continue
     train_kpd_main.main(argv + ["--Continue", "1", "--nEpochs", "2"])
+
+
+def test_unknown_nettype_rejected(tmp_path):
+    from betapose_tpu.train import train_kpd_main
+    with pytest.raises(ValueError, match="netType"):
+        train_kpd_main.main(["--netType", "hourglass",
+                             "--annot_dir", str(tmp_path)])
+
+
+@pytest.mark.slow
+def test_train_cli_hgprm(tiny_kpd_data, tmp_path):
+    """--netType hgPRM trains the PyraNet stacked hourglass with
+    intermediate supervision (no silent fallback to resnet101)."""
+    from betapose_tpu.train import train_kpd_main
+    argv = [
+        "--expID", "hg", "--nClasses", "4", "--netType", "hgPRM",
+        "--nStack", "1", "--nFeats", "16", "--baseWidth", "4",
+        "--cardinality", "2",
+        "--optMethod", "adam", "--trainBatch", "3", "--validBatch", "3",
+        "--nEpochs", "1", "--snapshot", "1", "--valid_every", "1",
+        # the depth-4 hourglass needs the heatmap res (inputRes/4)
+        # divisible by 16 (reference runs 320x256 -> 80x64)
+        "--inputResH", "128", "--inputResW", "64",
+        "--outputResH", "32", "--outputResW", "16",
+        "--annot_dir", tiny_kpd_data, "--img_dir", tiny_kpd_data,
+        "--exp_root", str(tmp_path / "exp"),
+        "--tb_root", str(tmp_path / "tb"),
+        "--n_devices", "1",
+    ]
+    train_kpd_main.main(argv)
+    exp_dir = tmp_path / "exp" / "coco" / "hg"
+    assert (exp_dir / "model_final.npz").exists()
