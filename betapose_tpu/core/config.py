@@ -38,6 +38,8 @@ class DetectionConfig:
     pose_batch: int = 80
     num_classes: int = 80             # opt.num_classes = 80 (opt.py:150)
     preproc: str = "stretch"          # 'stretch' | 'letterbox'
+    det_capacity: int = 1             # boxes/frame; >1 enables the
+    #                                 # multi-candidate pose-NMS path
 
 
 @dataclasses.dataclass
@@ -106,6 +108,7 @@ class Config:
         d.confidence = args.confidence
         d.nms_thresh = args.nms_thesh
         d.det_batch = args.detbatch
+        d.det_capacity = getattr(args, "det_capacity", 1)
         d.pose_batch = args.posebatch
         t = c.train
         t.lr = args.LR
@@ -201,6 +204,10 @@ def make_parser(description: str = "Betapose-TPU") -> argparse.ArgumentParser:
     p.add_argument("--inp_dim", dest="inp_dim", type=str, default="416")
     p.add_argument("--conf", dest="confidence", type=float, default=0.01)
     p.add_argument("--nms", dest="nms_thesh", type=float, default=0.6)
+    p.add_argument("--det_capacity", type=int, default=1,
+                   help="max detections kept per frame; >1 routes crowded "
+                        "scenes through the full parametric pose-NMS "
+                        "(TPU-stack extension; 1 = reference best-box)")
     p.add_argument("--save_img", default=False, action="store_true")
     p.add_argument("--vis", default=False, action="store_true")
     p.add_argument("--format", type=str)

@@ -111,7 +111,9 @@ def build_pipeline(cfg: Config, args, kp_vertices, cam_K,
         n_kp=cfg.model.n_classes,
         confidence=cfg.detection.confidence,
         left_keypoints=TOTAL_KP_NUMBER,  # betapose_evaluate.py:138 passes 50
-        preproc=args.preproc)
+        preproc=args.preproc,
+        det_capacity=cfg.detection.det_capacity,
+        nms_thresh=cfg.detection.nms_thresh)
     return PosePipeline(spec, yolo_params, kpd_params, kp_vertices, cam_K,
                         pcfg, left_keypoints=left_keypoints)
 

@@ -49,6 +49,8 @@ class PipelineConfig:
     s2d_stem: bool = True           # exact space-to-depth stem rewrite
     pnp_iters: int = 12             # LM refinement steps
     pallas_decode: bool | None = None  # None = auto (TPU backend only)
+    det_capacity: int = 1           # boxes/frame; >1 = multi-candidate mode
+    nms_thresh: float = 0.4         # greedy-NMS IoU (multi-candidate only)
 
 
 def make_det_stage(yolo_spec, cfg: PipelineConfig):
@@ -75,6 +77,28 @@ def make_det_stage(yolo_spec, cfg: PipelineConfig):
         else:
             dets = yolo_mod.forward(
                 yolo_spec, yolo_params, yolo_in.astype(cdtype), cfg.reso)
+        if cfg.det_capacity > 1:
+            # ---- multi-candidate: up to N greedy-NMS'd boxes per frame ----
+            cand = box_ops.top_boxes(
+                dets, cfg.confidence, cfg.target_class,
+                capacity=cfg.det_capacity, nms_thresh=cfg.nms_thresh)
+            if cfg.preproc == "stretch":
+                boxes = box_ops.rescale_boxes(cand["boxes"], w0, h0, cfg.reso)
+            else:
+                boxes = box_ops.unletterbox_boxes(
+                    cand["boxes"], w0, h0, cfg.reso)
+
+            def crop_frame(img, fboxes):
+                return image_ops.crop_from_dets(
+                    img, fboxes, cfg.inp_h, cfg.inp_w)
+
+            crops, pt1, pt2 = jax.vmap(crop_frame)(imgs, boxes)  # [B,N,...]
+            bn = crops.shape[0] * crops.shape[1]
+            return {"boxes": boxes, "obj_score": cand["obj_score"],
+                    "det_valid": cand["valid"],
+                    "crops": crops.reshape((bn,) + crops.shape[2:]),
+                    "pt1": pt1.reshape(bn, 2), "pt2": pt2.reshape(bn, 2)}
+
         best = box_ops.best_box(dets, cfg.confidence, cfg.target_class)
         if cfg.preproc == "stretch":
             boxes = box_ops.rescale_boxes(best["boxes"], w0, h0, cfg.reso)
@@ -177,6 +201,36 @@ def make_pose_step(yolo_spec, cfg: PipelineConfig):
     return step
 
 
+def make_candidates_step(yolo_spec, cfg: PipelineConfig):
+    """Multi-candidate device graph (cfg.det_capacity > 1): frames ->
+    per-candidate decoded keypoints, [B, N, ...].  Stops before pose-NMS —
+    the dynamic clustering loop (`pPose_nms.py:24-122`) runs host-side on
+    these candidates (ops.pose_nms.pose_nms), mirroring the reference's
+    DataWriter flow for crowded/occlusion scenes."""
+    det_stage = make_det_stage(yolo_spec, cfg)
+    pose_stage = make_pose_stage(cfg)
+
+    def step(yolo_params, kpd_params, frames):
+        det = det_stage(yolo_params, frames)
+        hm = pose_stage(kpd_params, det["crops"])
+        use_pallas = cfg.pallas_decode
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        _, preds_img, maxval = hm_ops.decode_heatmaps(
+            hm, det["pt1"], det["pt2"], cfg.inp_h, cfg.inp_w,
+            cfg.out_h, cfg.out_w, use_pallas=use_pallas)
+        b, n = det["boxes"].shape[:2]
+        return {
+            "boxes": det["boxes"],                        # [B,N,4]
+            "obj_score": det["obj_score"],                # [B,N]
+            "det_valid": det["det_valid"],                # [B,N]
+            "kp2d": preds_img.reshape(b, n, cfg.n_kp, 2),
+            "kp_scores": maxval.reshape(b, n, cfg.n_kp),
+        }
+
+    return step
+
+
 class PosePipeline:
     """Host-side wrapper: owns weights, jits the fused step, feeds batches.
 
@@ -201,8 +255,12 @@ class PosePipeline:
         self.kpd_params = kpd_params
         self.kp3d = jnp.asarray(kp3d, jnp.float32)
         self.cam_K = jnp.asarray(cam_K, jnp.float32)
-        self._step = jax.jit(make_pose_step(self.spec, self.cfg))
+        if self.cfg.det_capacity > 1:
+            self._step = jax.jit(make_candidates_step(self.spec, self.cfg))
+        else:
+            self._step = jax.jit(make_pose_step(self.spec, self.cfg))
         self._stages = None  # lazily jitted per-stage fns for --profile
+        self._pnp_fn = None  # lazily jitted batched PnP (multi-candidate)
 
     @staticmethod
     def _is_oom(e: Exception) -> bool:
@@ -227,24 +285,93 @@ class PosePipeline:
         The explicit device_put matters: letting jit transfer a host numpy
         arg implicitly is ~70x slower through the remote-compile TPU tunnel
         (measured 3.1 s vs 45 ms for a 59 MB batch)."""
+        out = self._run_device(frames_u8)
+        if self.cfg.det_capacity > 1:
+            return self._host_pose_nms(out)
+        return out
+
+    def _run_device(self, frames_u8):
+        args = () if self.cfg.det_capacity > 1 else (self.kp3d, self.cam_K)
         try:
             return self._step(self.yolo_params, self.kpd_params,
-                              jax.device_put(jnp.asarray(frames_u8)),
-                              self.kp3d, self.cam_K)
+                              jax.device_put(jnp.asarray(frames_u8)), *args)
         except Exception as e:
             if not self._is_oom(e) or len(frames_u8) < 2:
                 raise
             half = len(frames_u8) // 2
-            out1 = self(frames_u8[:half])
-            out2 = self(frames_u8[half:])
+            out1 = self._run_device(frames_u8[:half])
+            out2 = self._run_device(frames_u8[half:])
             return {k: jnp.concatenate([out1[k], out2[k]], axis=0)
                     for k in out1}
+
+    def _host_pose_nms(self, cand):
+        """Multi-candidate post: host-side parametric pose-NMS per frame over
+        the N candidates (the reference's pPose_nms.py flow through
+        DataWriter.update), best surviving proposal per frame, keypoint
+        pruning, then one batched jitted PnP.  Output schema matches the
+        fused capacity-1 step."""
+        cand = {k: np.asarray(v) for k, v in jax.device_get(cand).items()}
+        b = cand["boxes"].shape[0]
+        k_all = self.cfg.n_kp
+        left = min(self.cfg.left_keypoints, k_all)
+        kp3d = np.asarray(self.kp3d)
+
+        boxes = np.zeros((b, 4), np.float32)
+        obj_score = np.zeros((b,), np.float32)
+        keypoints = np.zeros((b, k_all, 2), np.float32)
+        kp_scores = np.zeros((b, k_all), np.float32)
+        proposal = np.zeros((b,), np.float32)
+        valid = np.zeros((b,), bool)
+        kp2d_sel = np.zeros((b, left, 2), np.float32)
+        kp3d_sel = np.tile(kp3d[None, :left], (b, 1, 1)).astype(np.float32)
+
+        for i in range(b):
+            v = cand["det_valid"][i]
+            if not v.any():
+                continue
+            results = pnms.pose_nms(
+                cand["boxes"][i][v], cand["obj_score"][i][v],
+                cand["kp2d"][i][v], cand["kp_scores"][i][v][..., None])
+            if not results:
+                continue
+            best = max(results, key=lambda r: r["proposal_score"])
+            kp = np.asarray(best["keypoints"], np.float32)
+            sc = np.asarray(best["kp_score"], np.float32)[:, 0]
+            boxes[i] = best["bbox"]
+            obj_score[i] = cand["obj_score"][i][v].max()
+            keypoints[i], kp_scores[i] = kp, sc
+            proposal[i] = best["proposal_score"]
+            valid[i] = True
+            top = np.argsort(-sc, kind="stable")[:left]
+            kp2d_sel[i] = kp[top]
+            kp3d_sel[i] = kp3d[top]
+
+        if self._pnp_fn is None:
+            self._pnp_fn = jax.jit(jax.vmap(
+                lambda p3, p2: pnp_ops.solve_pnp(
+                    p3, p2, self.cam_K, iters=self.cfg.pnp_iters)))
+        R, t = self._pnp_fn(jnp.asarray(kp3d_sel), jnp.asarray(kp2d_sel))
+        return {
+            "boxes": jnp.asarray(boxes),
+            "obj_score": jnp.asarray(obj_score),
+            "det_valid": jnp.asarray(cand["det_valid"].any(axis=1)),
+            "keypoints": jnp.asarray(keypoints),
+            "kp_scores": jnp.asarray(kp_scores),
+            "proposal_score": jnp.asarray(proposal),
+            "pose_valid": jnp.asarray(valid),
+            "cam_R": R,
+            "cam_t": t,
+        }
 
     def profiled_call(self, frames_u8: np.ndarray, prof):
         """Like __call__ but runs the three jitted sub-stages separately,
         blocking between them to fill `prof`'s dt/pt/pn buckets (the
         reference's per-stage readout, `betapose_evaluate.py:132-136`).
         Slightly slower than the fused step (three dispatches + syncs)."""
+        if self.cfg.det_capacity > 1:
+            # multi-candidate mode has its own host post stage; per-stage
+            # buckets are not split there
+            return self(frames_u8)
         if self._stages is None:
             self._stages = (
                 jax.jit(make_det_stage(self.spec, self.cfg)),

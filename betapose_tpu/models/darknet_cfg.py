@@ -34,7 +34,12 @@ def parse_cfg(cfg) -> list[dict]:
             block["type"] = line[1:-1].strip()
         else:
             key, value = line.split("=", 1)
-            block[key.strip()] = value.strip()
+            key = key.strip()
+            if key == "type" and "type" in block:
+                # [cost] blocks carry a `type=sse` option that must not
+                # clobber the block's own type tag
+                key = "type_option"
+            block[key] = value.strip()
     if block:
         blocks.append(block)
     return blocks

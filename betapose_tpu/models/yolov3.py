@@ -32,7 +32,9 @@ from betapose_tpu.models.darknet_cfg import parse_cfg
 
 @dataclasses.dataclass(frozen=True)
 class LayerSpec:
-    kind: str                   # conv | shortcut | route | upsample | maxpool | yolo
+    kind: str                   # conv | shortcut | route | upsample | maxpool
+    #                           # | yolo | avgpool | softmax | dropout | cost
+    #                           # | connected
     out_channels: int
     # conv
     size: int = 0
@@ -48,6 +50,8 @@ class LayerSpec:
     anchors: tuple = ()         # ((w,h),...) for this head (mask applied)
     num_classes: int = 0
     ignore_thresh: float = 0.7
+    # connected
+    in_features: int = 0        # flattened h*w*c feeding the matmul
 
 
 @dataclasses.dataclass(frozen=True)
@@ -71,20 +75,36 @@ def build_spec(cfg) -> NetworkSpec:
 
     layers = []
     out_channels = [3]  # out_channels[i+1] = channels of layer i
+    # static spatial tracking (parser.c propagates net w/h the same way);
+    # only required when a [connected] layer needs its flattened input size
+    try:
+        cur_h = int(net_info.get("height", 0)) or None
+        cur_w = int(net_info.get("width", 0)) or None
+    except (TypeError, ValueError):
+        cur_h = cur_w = None
+    dims = [(cur_h, cur_w)]  # dims[i+1] = (h, w) of layer i's output
     needed = set()
     for i, b in enumerate(blocks):
         t = b["type"]
         cin = out_channels[-1]
+        cur_h, cur_w = dims[-1]
+
+        def _next_dim(d, size, stride, pad):
+            return None if d is None else (d + 2 * pad - size) // stride + 1
+
         if t == "convolutional":
             bn = int(b.get("batch_normalize", 0)) != 0
             filters = int(b["filters"])
             size = int(b["size"])
+            stride = int(b["stride"])
             pad = (size - 1) // 2 if int(b.get("pad", 0)) else 0
             layers.append(LayerSpec(
-                "conv", filters, size=size, stride=int(b["stride"]), pad=pad,
+                "conv", filters, size=size, stride=stride, pad=pad,
                 batch_normalize=bn, activation=b.get("activation", "linear"),
                 in_channels=cin))
             out_channels.append(filters)
+            dims.append((_next_dim(cur_h, size, stride, pad),
+                         _next_dim(cur_w, size, stride, pad)))
         elif t == "shortcut":
             frm = int(b["from"])
             abs_from = i + frm if frm < 0 else frm
@@ -92,6 +112,7 @@ def build_spec(cfg) -> NetworkSpec:
             needed.add(i - 1)
             layers.append(LayerSpec("shortcut", cin, from_idx=abs_from))
             out_channels.append(cin)
+            dims.append((cur_h, cur_w))
         elif t == "route":
             idxs = [int(x) for x in str(b["layers"]).split(",")]
             abs_idxs = tuple(i + x if x < 0 else x for x in idxs)
@@ -100,13 +121,57 @@ def build_spec(cfg) -> NetworkSpec:
             ch = sum(out_channels[a + 1] for a in abs_idxs)
             layers.append(LayerSpec("route", ch, route_idxs=abs_idxs))
             out_channels.append(ch)
+            dims.append(dims[abs_idxs[0] + 1])
         elif t == "upsample":
-            layers.append(LayerSpec("upsample", cin, stride=int(b["stride"])))
+            stride = int(b["stride"])
+            layers.append(LayerSpec("upsample", cin, stride=stride))
             out_channels.append(cin)
+            dims.append((None if cur_h is None else cur_h * stride,
+                         None if cur_w is None else cur_w * stride))
         elif t == "maxpool":
-            layers.append(LayerSpec(
-                "maxpool", cin, size=int(b["size"]), stride=int(b["stride"])))
+            size, stride = int(b["size"]), int(b["stride"])
+            layers.append(LayerSpec("maxpool", cin, size=size, stride=stride))
             out_channels.append(cin)
+            if stride == 1:
+                dims.append((cur_h, cur_w))
+            else:
+                dims.append((_next_dim(cur_h, size, stride, 0),
+                             _next_dim(cur_w, size, stride, 0)))
+        elif t == "avgpool":
+            # darknet avgpool_layer.c: GLOBAL average pool to 1x1xC
+            layers.append(LayerSpec("avgpool", cin))
+            out_channels.append(cin)
+            dims.append((1, 1))
+        elif t == "connected":
+            # parser.c parse_connected: fully-connected over the flattened
+            # input (inputs = h*w*c), optional batch_normalize
+            outputs = int(b["output"])
+            if cur_h is None or cur_w is None:
+                raise ValueError(
+                    "[connected] layer needs width/height in the [net] block"
+                    " to size its input statically")
+            bn = int(b.get("batch_normalize", 0)) != 0
+            layers.append(LayerSpec(
+                "connected", outputs, batch_normalize=bn,
+                activation=b.get("activation", "linear"),
+                in_features=cur_h * cur_w * cin))
+            out_channels.append(outputs)
+            dims.append((1, 1))
+        elif t == "dropout":
+            # inference is a no-op (forward_dropout_layer only acts when
+            # net.train); training dropout is not plumbed — documented
+            layers.append(LayerSpec("dropout", cin))
+            out_channels.append(cin)
+            dims.append((cur_h, cur_w))
+        elif t == "softmax":
+            layers.append(LayerSpec("softmax", cin))
+            out_channels.append(cin)
+            dims.append((cur_h, cur_w))
+        elif t == "cost":
+            # training-only objective bookkeeping; identity at inference
+            layers.append(LayerSpec("cost", cin))
+            out_channels.append(cin)
+            dims.append((cur_h, cur_w))
         elif t == "yolo":
             mask = [int(x) for x in b["mask"].split(",")]
             flat = [int(float(x)) for x in b["anchors"].replace(" ", "").split(",")]
@@ -118,8 +183,12 @@ def build_spec(cfg) -> NetworkSpec:
                 num_classes=int(b["classes"]),
                 ignore_thresh=float(b.get("ignore_thresh", 0.7))))
             out_channels.append(cin)
+            dims.append((cur_h, cur_w))
         else:
-            raise ValueError(f"unsupported block type: {t}")
+            raise ValueError(
+                f"unsupported block type: {t} (supported: convolutional,"
+                " shortcut, route, upsample, maxpool, avgpool, connected,"
+                " dropout, softmax, cost, yolo)")
     return NetworkSpec(tuple(layers), frozenset(needed), net_info)
 
 
@@ -127,27 +196,45 @@ def build_spec(cfg) -> NetworkSpec:
 # Parameters
 # ---------------------------------------------------------------------------
 
+def _bn_init_params(c, dtype):
+    return {"bn_scale": jnp.ones((c,), dtype),
+            "bn_bias": jnp.zeros((c,), dtype),
+            "bn_mean": jnp.zeros((c,), dtype),
+            "bn_var": jnp.ones((c,), dtype)}
+
+
 def init_params(key, spec: NetworkSpec, dtype=jnp.float32):
     """He-style init for convs; BN starts at identity."""
     params = []
     for l in spec.layers:
-        if l.kind != "conv":
-            params.append({})
-            continue
-        key, k1 = jax.random.split(key)
-        fan_in = l.in_channels * l.size * l.size
-        w = jax.random.normal(
-            k1, (l.size, l.size, l.in_channels, l.out_channels), dtype
-        ) * jnp.sqrt(2.0 / fan_in)
-        p = {"w": w}
-        if l.batch_normalize:
-            p["bn_scale"] = jnp.ones((l.out_channels,), dtype)
-            p["bn_bias"] = jnp.zeros((l.out_channels,), dtype)
-            p["bn_mean"] = jnp.zeros((l.out_channels,), dtype)
-            p["bn_var"] = jnp.ones((l.out_channels,), dtype)
+        if l.kind == "conv":
+            key, k1 = jax.random.split(key)
+            fan_in = l.in_channels * l.size * l.size
+            w = jax.random.normal(
+                k1, (l.size, l.size, l.in_channels, l.out_channels), dtype
+            ) * jnp.sqrt(2.0 / fan_in)
+            p = {"w": w}
+            if l.batch_normalize:
+                p.update(_bn_init_params(l.out_channels, dtype))
+            else:
+                p["b"] = jnp.zeros((l.out_channels,), dtype)
+            params.append(p)
+        elif l.kind == "connected":
+            key, k1 = jax.random.split(key)
+            # connected_layer.c: scale = sqrt(2./inputs)
+            w = jax.random.normal(
+                k1, (l.in_features, l.out_channels), dtype
+            ) * jnp.sqrt(2.0 / l.in_features)
+            p = {"w": w}
+            if l.batch_normalize:
+                # the on-disk bias array is BN's beta (forward_batchnorm_layer
+                # applies scales then biases) — no separate bias
+                p.update(_bn_init_params(l.out_channels, dtype))
+            else:
+                p["b"] = jnp.zeros((l.out_channels,), dtype)
+            params.append(p)
         else:
-            p["b"] = jnp.zeros((l.out_channels,), dtype)
-        params.append(p)
+            params.append({})
     return params
 
 
@@ -218,6 +305,41 @@ def load_darknet_weights(spec: NetworkSpec, path, dtype=jnp.float32,
         return out
 
     for li, l in enumerate(spec.layers):
+        if l.kind == "connected":
+            # parser.c load_connected_weights: biases, weights [out, in]
+            # row-major, then (if BN) scales, rolling_mean, rolling_var
+            if exhausted:
+                params.append(init[li])
+                continue
+            c = l.out_channels
+            vals, ok = {}, True
+            for name, n in (("b", c), ("w_oi", c * l.in_features)):
+                v = take(n)
+                if v is None:
+                    ok = False
+                    break
+                vals[name] = v
+            if ok and l.batch_normalize:
+                for k in ("bn_scale", "bn_mean", "bn_var"):
+                    v = take(c)
+                    if v is None:
+                        ok = False
+                        break
+                    vals[k] = v
+            if not ok:
+                params.append(init[li])
+                continue
+            p = {"b": jnp.asarray(vals.pop("b"), dtype),
+                 "w": jnp.asarray(
+                     vals.pop("w_oi").reshape(c, l.in_features).T, dtype)}
+            for k, v in vals.items():
+                p[k] = jnp.asarray(v, dtype)
+            if l.batch_normalize:
+                # connected BN has no separate beta on disk; the bias slot
+                # plays that role (connected_layer.c uses biases as beta)
+                p["bn_bias"] = p.pop("b")
+            params.append(p)
+            continue
         if l.kind != "conv":
             params.append({})
             continue
@@ -290,6 +412,18 @@ def save_darknet_weights(spec: NetworkSpec, params, path, seen: int = 0):
     buf = io.BytesIO()
     buf.write(np.array([0, 1, 0, seen], dtype=np.int32).tobytes())
     for l, p in zip(spec.layers, params):
+        if l.kind == "connected":
+            # save_connected_weights: biases, weights [out, in], then BN
+            # scales/rolling_mean/rolling_var
+            bias = p["bn_bias"] if l.batch_normalize else p["b"]
+            buf.write(np.ascontiguousarray(bias, dtype=np.float32).tobytes())
+            w_oi = np.asarray(p["w"], dtype=np.float32).T
+            buf.write(np.ascontiguousarray(w_oi).tobytes())
+            if l.batch_normalize:
+                for k in ("bn_scale", "bn_mean", "bn_var"):
+                    buf.write(np.ascontiguousarray(
+                        p[k], dtype=np.float32).tobytes())
+            continue
         if l.kind != "conv":
             continue
         if l.batch_normalize:
@@ -333,9 +467,43 @@ def _conv_layer(l: LayerSpec, p, x, train=False, bn_stats=None, path=None):
             y = y * scale + (p["bn_bias"] - p["bn_mean"] * scale)
     elif "b" in p:
         y = y + p["b"]
-    if l.activation == "leaky":
-        y = jnp.where(y > 0, y, 0.1 * y)
-    return y.astype(x.dtype)
+    return _activate(y, l.activation).astype(x.dtype)
+
+
+def _activate(y, activation):
+    """darknet activations.c subset used by the supported layer zoo."""
+    if activation == "leaky":
+        return jnp.where(y > 0, y, 0.1 * y)
+    if activation == "relu":
+        return jax.nn.relu(y)
+    if activation == "logistic":
+        return jax.nn.sigmoid(y)
+    return y  # linear
+
+
+def _connected_layer(l: LayerSpec, p, x, train=False, bn_stats=None,
+                     path=None):
+    """Fully-connected layer (connected_layer.c): flatten -> matmul ->
+    BN (batch stats in training, running stats at inference; the bias array
+    is BN's beta) or bias -> activation.  Returns [B, 1, 1, out]."""
+    b = x.shape[0]
+    xf = x.reshape(b, -1).astype(jnp.float32)
+    y = xf @ p["w"].astype(jnp.float32)
+    if l.batch_normalize and "bn_scale" in p:
+        if train:
+            mean = jnp.mean(y, axis=0)
+            var = jnp.var(y, axis=0)
+            if bn_stats is not None:
+                bn_stats[path] = (mean, var)
+            y = (y - mean) * jax.lax.rsqrt(var + BN_EPS) * p["bn_scale"] \
+                + p["bn_bias"]
+        else:
+            scale = p["bn_scale"] / jnp.sqrt(p["bn_var"] + BN_EPS)
+            y = y * scale + (p["bn_bias"] - p["bn_mean"] * scale)
+    else:
+        y = y + p["b"]
+    y = _activate(y, l.activation)
+    return y.reshape(b, 1, 1, l.out_channels).astype(x.dtype)
 
 
 def _upsample_nearest(x, stride):
@@ -420,6 +588,15 @@ def forward(spec: NetworkSpec, params, x, reso: int, decode: bool = True,
             x = _upsample_nearest(x, l.stride)
         elif l.kind == "maxpool":
             x = _maxpool(x, l.size, l.stride)
+        elif l.kind == "avgpool":
+            x = jnp.mean(x, axis=(1, 2), keepdims=True)
+        elif l.kind == "connected":
+            x = _connected_layer(l, p, x, train=train, bn_stats=bn_stats,
+                                 path=i)
+        elif l.kind == "softmax":
+            x = jax.nn.softmax(x.astype(jnp.float32), axis=-1).astype(x.dtype)
+        elif l.kind in ("dropout", "cost"):
+            pass  # identity at inference (forward_dropout/cost gate on train)
         elif l.kind == "yolo":
             raw_heads.append(x)
             if decode:
@@ -429,6 +606,9 @@ def forward(spec: NetworkSpec, params, x, reso: int, decode: bool = True,
         if i in spec.cache_idxs:
             cache[i] = x
     if decode:
+        if not decoded:
+            # no yolo heads (classifier cfgs): the final layer IS the output
+            return x
         return jnp.concatenate(decoded, axis=1)
     return raw_heads
 

@@ -72,6 +72,45 @@ def best_box(predictions, confidence: float, target_class: int = 0):
     }
 
 
+def top_boxes(predictions, confidence: float, target_class: int = 0,
+              capacity: int = 4, nms_thresh: float = 0.4,
+              prefilter: int = 64):
+    """Capacity-N extension of `best_box` for crowded/occlusion scenes:
+    keep up to `capacity` target-class boxes per frame by objectness after
+    greedy NMS (the reference's `nms=True` branch semantics,
+    `yolo/util.py:183-199`, feeding pPose-NMS with a real cluster,
+    `pPose_nms.py:24`).
+
+    Fixed shapes throughout: the candidate set is first cut to the top
+    `prefilter` boxes by masked objectness (NMS over the full ~10k-row
+    decode would serialize a 10k-iteration loop on device), then greedy
+    NMS selects up to `capacity`.
+
+    predictions: [B, nBoxes, 5+nC].  Returns dict with
+      boxes [B, N, 4] xyxy, obj_score [B, N], cls_score [B, N],
+      valid [B, N] (False rows are zero-padded slots or below-threshold).
+    """
+    m = min(prefilter, predictions.shape[1])
+
+    def one(pred):
+        obj = pred[:, 4]
+        cls_probs = pred[:, 5:]
+        cls_best = jnp.argmax(cls_probs, axis=-1)
+        cls_score = jnp.max(cls_probs, axis=-1)
+        mask = (obj > confidence) & (cls_best == target_class)
+        masked_obj = jnp.where(mask, obj, -1.0)
+        top_sc, top_i = jax.lax.top_k(masked_obj, m)
+        boxes_m = xywh_to_xyxy(pred[top_i, :4])
+        keep_idx, keep_mask = nms(boxes_m, top_sc, nms_thresh, capacity)
+        valid = keep_mask & mask[top_i[keep_idx]]
+        return (boxes_m[keep_idx], obj[top_i[keep_idx]],
+                cls_score[top_i[keep_idx]], valid)
+
+    boxes, obj_score, cls_score, valid = jax.vmap(one)(predictions)
+    return {"boxes": boxes, "obj_score": obj_score,
+            "cls_score": cls_score, "valid": valid}
+
+
 def rescale_boxes(boxes, orig_w, orig_h, reso: int):
     """Reference DetectionLoader box rescale (`dataloader.py:354-363`):
     multiply by (orig/reso) per axis.  NOTE: the reference letterboxes the

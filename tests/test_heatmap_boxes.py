@@ -227,3 +227,56 @@ class TestGreedyNMS:
                     if iou >= 0.4:
                         alive[j] = False
         assert ours == golden
+
+
+class TestTopBoxes:
+    def test_matches_host_oracle(self):
+        """top_boxes (capacity-N selection for the multi-candidate pipeline)
+        vs a host transcription: confidence+class mask, then greedy NMS by
+        objectness, keep up to N."""
+        rng = np.random.default_rng(11)
+        nb, nc, cap = 40, 3, 4
+        centers = rng.uniform(60, 340, (nb, 2))
+        sizes = rng.uniform(40, 90, (nb, 2))
+        xywh = np.concatenate([centers, sizes], 1).astype(np.float32)
+        obj = rng.random(nb).astype(np.float32)
+        cls = rng.random((nb, nc)).astype(np.float32)
+        preds = np.concatenate([xywh, obj[:, None], cls], 1)[None]
+
+        out = box_ops.top_boxes(jnp.asarray(preds), confidence=0.3,
+                                target_class=1, capacity=cap,
+                                nms_thresh=0.45)
+        got = {tuple(np.round(b, 3))
+               for b, v in zip(np.asarray(out["boxes"][0]),
+                               np.asarray(out["valid"][0])) if v}
+
+        # host oracle: greedy NMS over masked-objectness order; the valid
+        # outputs are the first `cap` mask-passing survivors
+        mask = (obj > 0.3) & (cls.argmax(1) == 1)
+        boxes = np.asarray(box_ops.xywh_to_xyxy(jnp.asarray(xywh)))
+        order = np.argsort(-np.where(mask, obj, -1.0), kind="stable")
+        alive = np.ones(nb, bool)
+        survivors = []
+        for i in order:
+            if not alive[i]:
+                continue
+            survivors.append(i)
+            for j in order:
+                if j != i and alive[j]:
+                    iou = float(box_ops.bbox_iou(
+                        jnp.asarray(boxes[i]), jnp.asarray(boxes[j])))
+                    if iou >= 0.45:
+                        alive[j] = False
+        golden = [i for i in survivors if mask[i]][:cap]
+        want = {tuple(np.round(boxes[i], 3)) for i in golden}
+        assert got == want
+
+    def test_invalid_slots_masked(self):
+        # one passing box, capacity 3 -> exactly one valid slot
+        pred = np.zeros((1, 5, 7), np.float32)
+        pred[0, 2, :4] = [100, 100, 40, 40]
+        pred[0, 2, 4] = 0.9
+        pred[0, 2, 5] = 0.8           # class 0
+        out = box_ops.top_boxes(jnp.asarray(pred), confidence=0.5,
+                                target_class=0, capacity=3)
+        assert int(np.asarray(out["valid"][0]).sum()) == 1

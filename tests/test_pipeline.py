@@ -200,3 +200,85 @@ class TestResultsJson:
         assert data["0002.png"]["version"] == "Betapose v1.0"
         assert len(data["0002.png"]["bodies"][0]["joints"]) == 18 * 3
         assert os.path.exists(tmp_path / "sep-json" / "0002.json")
+
+
+class TestMultiCandidate:
+    """Capacity-N detection feeding the FULL parametric pose-NMS
+    (`pPose_nms.py:24-122`): the `while human_scores` clustering loop runs
+    with n>1 inside an eval-shaped flow (VERDICT: candidate clusters in
+    crowded/occlusion scenes)."""
+
+    def _pipe(self, capacity, monkeypatch=None, calls=None):
+        spec = yolo_mod.build_spec(TINY_YOLO_CFG)
+        yolo_params = yolo_mod.fold_bn(
+            spec, yolo_mod.init_params(jax.random.PRNGKey(0), spec))
+        kpd_params = kpd_mod.init_params(jax.random.PRNGKey(1), n_classes=6,
+                                         arch="resnet50")
+        kp3d = np.random.default_rng(0).standard_normal((6, 3)) * 0.05
+        cfg = PipelineConfig(reso=96, inp_h=64, inp_w=48, out_h=16, out_w=12,
+                             n_kp=6, confidence=0.0,  # every box passes
+                             left_keypoints=6, compute_dtype="float32",
+                             det_capacity=capacity)
+        return PosePipeline(spec, yolo_params, kpd_params, kp3d, CAM_K, cfg)
+
+    def test_cluster_loop_runs_with_n_gt_1(self, monkeypatch):
+        from betapose_tpu.ops import pose_nms as pnms
+        seen_n = []
+        real = pnms.pose_nms
+
+        def spy(bboxes, bbox_scores, pose_preds, pose_scores, **kw):
+            seen_n.append(len(np.asarray(bboxes)))
+            return real(bboxes, bbox_scores, pose_preds, pose_scores, **kw)
+
+        import betapose_tpu.eval.pipeline as pipe_mod
+        monkeypatch.setattr(pipe_mod.pnms, "pose_nms", spy)
+
+        pipe = self._pipe(capacity=3)
+        frames = np.random.default_rng(2).integers(
+            0, 255, (2, 120, 160, 3), dtype=np.uint8)
+        out = pipe(frames)
+        # confidence=0 + single class -> all 3 candidate slots valid
+        assert seen_n and max(seen_n) > 1
+        assert out["boxes"].shape == (2, 4)
+        assert out["keypoints"].shape == (2, 6, 2)
+        assert out["kp_scores"].shape == (2, 6)
+        assert out["cam_R"].shape == (2, 3, 3)
+        assert out["cam_t"].shape == (2, 3)
+        assert np.asarray(out["det_valid"]).all()
+
+    def test_identical_cluster_merges_to_candidate(self):
+        """Three identical high-score candidates must merge to the candidate
+        pose itself (+ the reference -0.3 offset) with one proposal."""
+        pipe = self._pipe(capacity=3)
+        rng = np.random.default_rng(5)
+        kp = rng.uniform(20, 90, (6, 2)).astype(np.float32)
+        cand = {
+            "boxes": np.tile(np.array([10, 10, 110, 120], np.float32),
+                             (1, 3, 1)),
+            "obj_score": np.full((1, 3), 0.7, np.float32),
+            "det_valid": np.ones((1, 3), bool),
+            "kp2d": np.tile(kp[None, None], (1, 3, 1, 1)),
+            "kp_scores": np.full((1, 3, 6), 0.9, np.float32),
+        }
+        out = pipe._host_pose_nms(cand)
+        assert bool(np.asarray(out["pose_valid"])[0])
+        np.testing.assert_allclose(np.asarray(out["keypoints"][0]),
+                                   kp - 0.3, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(out["kp_scores"][0]), 0.9,
+                                   rtol=1e-5)
+        # proposal = mean + bbox + 1.25*max (pPose_nms.py:111-115)
+        np.testing.assert_allclose(float(out["proposal_score"][0]),
+                                   0.9 + 0.7 + 1.25 * 0.9, rtol=1e-5)
+
+    def test_low_scores_yield_invalid_pose(self):
+        pipe = self._pipe(capacity=2)
+        cand = {
+            "boxes": np.tile(np.array([10, 10, 110, 120], np.float32),
+                             (1, 2, 1)),
+            "obj_score": np.full((1, 2), 0.7, np.float32),
+            "det_valid": np.ones((1, 2), bool),
+            "kp2d": np.zeros((1, 2, 6, 2), np.float32),
+            "kp_scores": np.full((1, 2, 6), 0.1, np.float32),  # < scoreThreds
+        }
+        out = pipe._host_pose_nms(cand)
+        assert not bool(np.asarray(out["pose_valid"])[0])

@@ -247,3 +247,131 @@ class TestPartialWeights:
         yolov3.save_partial_weights(spec, params, path, cutoff=2)
         with pytest.raises(ValueError):
             yolov3.load_darknet_weights(spec, path, allow_partial=False)
+
+
+CLASSIFIER_CFG = """
+[net]
+width=64
+height=64
+channels=3
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+filters=16
+size=3
+stride=2
+pad=1
+activation=relu
+
+[dropout]
+probability=.5
+
+[avgpool]
+
+[connected]
+output=12
+activation=relu
+
+[connected]
+batch_normalize=1
+output=10
+activation=linear
+
+[softmax]
+groups=1
+
+[cost]
+type=sse
+"""
+
+
+class TestLayerZoo:
+    """Stock-darknet classifier layers beyond YOLOv3's subset
+    (parser.c:699-780: avgpool/connected/dropout/softmax/cost) — keeps
+    non-v3 cfgs loadable.  avgpool is darknet's GLOBAL pool
+    (avgpool_layer.c); connected follows connected_layer.c (flatten ->
+    matmul; with batch_normalize the bias array is BN's beta); dropout and
+    cost are inference no-ops (their forwards gate on net.train)."""
+
+    def _build(self):
+        spec = yolov3.build_spec(CLASSIFIER_CFG)
+        rng = np.random.RandomState(0)
+        params = yolov3.init_params(jax.random.PRNGKey(3), spec)
+        params = jax.tree_util.tree_map(
+            lambda a: a + 0.05 * rng.standard_normal(a.shape).astype(np.float32),
+            params)
+        return spec, params
+
+    def test_spec_kinds_and_connected_sizing(self):
+        spec, _ = self._build()
+        kinds = [l.kind for l in spec.layers]
+        assert kinds == ["conv", "maxpool", "conv", "dropout", "avgpool",
+                         "connected", "connected", "softmax", "cost"]
+        fc = [l for l in spec.layers if l.kind == "connected"]
+        # avgpool collapses to 1x1x16 -> 16 inputs; then 12
+        assert [l.in_features for l in fc] == [16, 12]
+        assert fc[1].batch_normalize
+
+    def test_cost_type_does_not_clobber_block_type(self):
+        blocks = darknet_cfg.parse_cfg(CLASSIFIER_CFG)
+        assert blocks[-1]["type"] == "cost"
+        assert blocks[-1]["type_option"] == "sse"
+
+    def test_forward_softmax_output(self):
+        spec, params = self._build()
+        x = jnp.asarray(np.random.RandomState(1).rand(2, 64, 64, 3)
+                        .astype(np.float32))
+        out = np.asarray(yolov3.forward(spec, params, x, reso=64))
+        assert out.shape == (2, 1, 1, 10)
+        np.testing.assert_allclose(out.reshape(2, -1).sum(1), 1.0, rtol=1e-5)
+        assert (out >= 0).all()
+
+    def test_weights_byte_roundtrip(self, tmp_path):
+        spec, params = self._build()
+        path = str(tmp_path / "cls.weights")
+        yolov3.save_darknet_weights(spec, params, path)
+        loaded, _ = yolov3.load_darknet_weights(spec, path,
+                                                allow_partial=False)
+        fa = jax.tree_util.tree_leaves(params)
+        fb = jax.tree_util.tree_leaves(loaded)
+        assert len(fa) == len(fb)
+        for a, b in zip(fa, fb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_connected_matches_numpy_oracle(self):
+        spec, params = self._build()
+        x = np.random.RandomState(2).rand(3, 64, 64, 3).astype(np.float32)
+        out = np.asarray(yolov3.forward(spec, params, jnp.asarray(x),
+                                        reso=64))
+        # replay the tail (avgpool -> fc1 relu -> fc2 BN -> softmax) in numpy
+        # from the conv trunk's output
+        trunk_spec = yolov3.NetworkSpec(spec.layers[:4], spec.cache_idxs,
+                                        spec.net_info)
+        feats = np.asarray(yolov3.forward(
+            trunk_spec, list(params)[:4], jnp.asarray(x), reso=64))
+        f = feats.mean(axis=(1, 2))                       # global avgpool
+        p1, p2 = params[5], params[6]
+        h = f @ np.asarray(p1["w"]) + np.asarray(p1["b"])
+        h = np.maximum(h, 0.0)
+        scale = np.asarray(p2["bn_scale"]) / np.sqrt(
+            np.asarray(p2["bn_var"]) + yolov3.BN_EPS)
+        z = (h @ np.asarray(p2["w"])) * scale + (
+            np.asarray(p2["bn_bias"]) - np.asarray(p2["bn_mean"]) * scale)
+        e = np.exp(z - z.max(axis=1, keepdims=True))
+        ref = e / e.sum(axis=1, keepdims=True)
+        np.testing.assert_allclose(out.reshape(3, -1), ref, atol=1e-5)
+
+    def test_unsupported_block_message_lists_zoo(self):
+        with pytest.raises(ValueError, match="avgpool"):
+            yolov3.build_spec("[net]\nwidth=32\nheight=32\n\n[rnn]\noutput=4")
