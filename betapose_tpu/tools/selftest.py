@@ -247,6 +247,12 @@ def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=1500,
     eval_frames = frames[n_frames:]
     out = {k: np.asarray(v) for k, v in pipe(eval_frames).items()}
 
+    # object diameter (max vertex-pair distance) — the reference's success
+    # bar is ADD < 0.1 * diameter (`betapose_evaluate.py:249,263`)
+    vd = model.vertices
+    diameter = float(np.sqrt(
+        ((vd[None] - vd[:, None]) ** 2).sum(-1)).max())
+
     adds, errs2d, ious = [], [], []
     for j in range(n_eval):
         gt_pose = poses[n_frames + j]
@@ -260,15 +266,21 @@ def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=1500,
             gt_pose, pred, model.vertices, CAM_K))
         gb = bboxes[n_frames + j]
         ious.append(metrics.iou(gb, out["boxes"][j].tolist()))
+    ok_01d = [a < 0.1 * diameter for a in adds]
     stats = {
         "n_detected": len(adds),
+        "n_eval": n_eval,
+        "diameter_m": diameter,
         "mean_add_m": float(np.mean(adds)) if adds else float("inf"),
+        "add_01d_acc": float(np.sum(ok_01d)) / max(n_eval, 1),
         "mean_2d_px": float(np.mean(errs2d)) if errs2d else float("inf"),
         "mean_iou": float(np.mean(ious)) if ious else 0.0,
     }
     if verbose:
         print(f"eval: detected {stats['n_detected']}/{n_eval}, "
               f"ADD {stats['mean_add_m'] * 100:.2f} cm, "
+              f"ADD<0.1d acc {stats['add_01d_acc']:.2f} "
+              f"(0.1d = {0.1 * diameter * 1000:.1f} mm), "
               f"2D {stats['mean_2d_px']:.1f} px, "
               f"IoU {stats['mean_iou']:.3f}")
     return stats
@@ -277,10 +289,26 @@ def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=1500,
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--frames", type=int, default=60)
-    p.add_argument("--iters", type=int, default=250)
+    p.add_argument("--yolo_iters", type=int, default=250)
+    p.add_argument("--kpd_iters", type=int, default=1500)
+    p.add_argument("--eval_frames", type=int, default=None)
+    p.add_argument("--slow", action="store_true",
+                   help="accuracy tier: more scenes/iters and full "
+                        "LineMod-sized KPD crops, targeting the reference's "
+                        "ADD<0.1*diameter success metric")
     args = p.parse_args(argv)
-    stats = run_selftest(n_frames=args.frames, yolo_iters=args.iters,
-                         kpd_iters=args.iters)
+    if args.slow:
+        stats = run_selftest(
+            n_frames=max(args.frames, 160),
+            n_eval=args.eval_frames or 16,
+            yolo_iters=max(args.yolo_iters, 500),
+            kpd_iters=max(args.kpd_iters, 4000),
+            inp_h=256, inp_w=192, n_kp=14)
+    else:
+        stats = run_selftest(n_frames=args.frames,
+                             yolo_iters=args.yolo_iters,
+                             kpd_iters=args.kpd_iters,
+                             n_eval=args.eval_frames or 8)
     return stats
 
 
