@@ -18,16 +18,27 @@ from betapose_tpu.eval.pipeline import make_pose_step, PipelineConfig
 class ShardedPosePipeline:
     """PosePipeline equivalent whose batches are sharded over a mesh.
 
-    The global batch must be divisible by the mesh's 'data' size."""
+    The global batch must be divisible by the mesh's 'data' size.
+
+    model_parallel > 1 builds a 2-D ('data', 'model') mesh and shards the
+    networks' channel dimensions over the model axis (tensor parallelism,
+    `mesh.shard_params_tp`) in addition to batch DP — XLA/GSPMD inserts the
+    cross-chip collectives.  For the stock model sizes DP alone is optimal
+    (weights fit per-chip); TP is the scale-up path for wider variants."""
 
     def __init__(self, spec, yolo_params, kpd_params, kp3d, cam_K,
                  cfg: PipelineConfig | None = None, mesh=None,
-                 n_devices=None):
+                 n_devices=None, model_parallel: int = 1):
         self.cfg = cfg or PipelineConfig()
-        self.mesh = mesh or mesh_mod.make_mesh(n_devices)
+        self.mesh = mesh or mesh_mod.make_mesh(n_devices, model_parallel)
         self.spec = spec
-        self.yolo_params = mesh_mod.replicate(self.mesh, yolo_params)
-        self.kpd_params = mesh_mod.replicate(self.mesh, kpd_params)
+        if model_parallel > 1 or "model" in self.mesh.shape:
+            self.yolo_params = mesh_mod.shard_params_tp(self.mesh,
+                                                        yolo_params)
+            self.kpd_params = mesh_mod.shard_params_tp(self.mesh, kpd_params)
+        else:
+            self.yolo_params = mesh_mod.replicate(self.mesh, yolo_params)
+            self.kpd_params = mesh_mod.replicate(self.mesh, kpd_params)
         self.kp3d = mesh_mod.replicate(self.mesh,
                                        jnp.asarray(kp3d, jnp.float32))
         self.cam_K = mesh_mod.replicate(self.mesh,

@@ -49,3 +49,32 @@ def shard_batch(mesh: Mesh, tree):
 def replicate(mesh: Mesh, tree):
     s = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+
+def shard_params_tp(mesh: Mesh, tree, axis_name: str = "model"):
+    """Tensor-parallel weight sharding over the mesh's model axis.
+
+    Channel-wise (Megatron-style for convs): the output-channel axis — last
+    axis of HWIO conv kernels, [in, out] dense kernels, and the per-channel
+    BN/bias vectors — is sharded across `axis_name` whenever its size
+    divides the axis; anything indivisible stays replicated.  Activations
+    inherit a channel sharding through GSPMD propagation and XLA inserts
+    the all-gathers/reduce-scatters where consecutive layers disagree —
+    the TPU-native counterpart of splitting a layer's filters across GPUs.
+
+    Correctness does not depend on which leaves shard (GSPMD keeps the
+    math identical); this choice keeps the widest conv stacks' weights and
+    activations distributed, which is what TP exists to buy (HBM headroom
+    per chip for scaled-up variants).
+    """
+    size = mesh.shape[axis_name]
+
+    def put(x):
+        shape = getattr(x, "shape", ())
+        if len(shape) >= 1 and shape[-1] >= size and shape[-1] % size == 0:
+            spec = P(*([None] * (len(shape) - 1) + [axis_name]))
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, tree)
