@@ -58,3 +58,18 @@ class TestEvalCLI:
                                extra=["--left_keypoints", "10"])
         assert os.path.exists(os.path.join(out, "Betapose-results.json"))
         assert set(stats) >= {"mean_add", "mean_2d_acc", "mean_iou"}
+
+    @pytest.mark.slow
+    def test_occlusion_eval_cli_multi_candidate(self, sixd, tmp_path):
+        """--det_capacity 3 drives the multi-candidate path (device top-N
+        NMS, host pPose-NMS clustering, batched PnP) through the occlusion
+        CLI end to end."""
+        src = os.path.join(sixd, "test", "01")
+        dst = os.path.join(sixd, "test", "02")
+        os.symlink(src, dst)
+        from betapose_tpu.eval import occlusion_betapose_evaluate as occ
+        out, stats = self._run(occ.main, sixd, tmp_path,
+                               extra=["--left_keypoints", "10",
+                                      "--det_capacity", "3"])
+        assert os.path.exists(os.path.join(out, "Betapose-results.json"))
+        assert set(stats) >= {"mean_add", "mean_2d_acc", "mean_iou"}
