@@ -48,6 +48,8 @@ class PipelineConfig:
     compute_dtype: str = "bfloat16"  # conv-path dtype
     s2d_stem: bool = True           # exact space-to-depth stem rewrite
     pnp_iters: int = 12             # LM refinement steps
+    pnp_robust_rounds: int = 0      # >0: trimmed-IRLS robust PnP (extension;
+    #                               # 0 = cv2.solvePnP-parity least squares)
     pallas_decode: bool | None = None  # None = auto (TPU backend only)
     det_capacity: int = 1           # boxes/frame; >1 = multi-candidate mode
     nms_thresh: float = 0.4         # greedy-NMS IoU (multi-candidate only)
@@ -132,6 +134,15 @@ def make_pose_stage(cfg: PipelineConfig):
     return pose_stage
 
 
+def _pnp_one(cfg: PipelineConfig, p3, p2, cam_K):
+    """PnP for one frame per cfg: least-squares (reference cv2.solvePnP
+    semantics) or the trimmed-IRLS robust extension."""
+    if cfg.pnp_robust_rounds > 0:
+        return pnp_ops.solve_pnp_robust(p3, p2, cam_K, iters=cfg.pnp_iters,
+                                        rounds=cfg.pnp_robust_rounds)
+    return pnp_ops.solve_pnp(p3, p2, cam_K, iters=cfg.pnp_iters)
+
+
 def make_post_stage(cfg: PipelineConfig):
     """Stage 3 — decode + pose-NMS + keypoint pruning + PnP (the 'pn'
     bucket; the reference's DataWriter.update chain)."""
@@ -164,9 +175,8 @@ def make_post_stage(cfg: PipelineConfig):
 
         # ---- PnP ----
         R, t = jax.vmap(
-            lambda p3, p2: pnp_ops.solve_pnp(
-                p3, p2, cam_K, iters=cfg.pnp_iters))(
-                kp3d_sel, kp2d_sel)
+            lambda p3, p2: _pnp_one(cfg, p3, p2, cam_K))(
+            kp3d_sel, kp2d_sel)
 
         return {
             "boxes": det["boxes"],                # [B,4] xyxy image coords
@@ -348,8 +358,7 @@ class PosePipeline:
 
         if self._pnp_fn is None:
             self._pnp_fn = jax.jit(jax.vmap(
-                lambda p3, p2: pnp_ops.solve_pnp(
-                    p3, p2, self.cam_K, iters=self.cfg.pnp_iters)))
+                lambda p3, p2: _pnp_one(self.cfg, p3, p2, self.cam_K)))
         R, t = self._pnp_fn(jnp.asarray(kp3d_sel), jnp.asarray(kp2d_sel))
         return {
             "boxes": jnp.asarray(boxes),

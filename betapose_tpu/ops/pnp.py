@@ -62,7 +62,7 @@ def inverse_rodrigues(R: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(near_zero, jnp.zeros(3), out)
 
 
-def _dlt_init(pts3d, pts2d_norm):
+def _dlt_init(pts3d, pts2d_norm, w=None):
     """DLT estimate of [R|t] from normalized image coordinates, with Hartley
     normalization of both point sets so the design matrix stays
     well-conditioned in float32 (the init must land in the global basin for
@@ -70,30 +70,37 @@ def _dlt_init(pts3d, pts2d_norm):
     can fall into a nearby spurious PnP minimum).
 
     pts3d: (N,3); pts2d_norm: (N,2) in K^-1 homogeneous coordinates.
+    w: optional (N,) nonnegative point weights (robust re-estimation —
+    zeroed rows drop outliers while keeping shapes static).
     Returns (R (3,3), t (3,)).
     """
     dtype = pts3d.dtype
     n = pts3d.shape[0]
+    if w is None:
+        w = jnp.ones((n,), dtype)
+    w = w.astype(dtype)
+    wsum = jnp.maximum(jnp.sum(w), 1e-12)
 
-    # Hartley normalization: 3D -> centroid 0, RMS radius sqrt(3)
-    c3 = jnp.mean(pts3d, axis=0)
+    # Hartley normalization (weighted): 3D -> centroid 0, RMS radius sqrt(3)
+    c3 = jnp.sum(pts3d * w[:, None], axis=0) / wsum
     p3 = pts3d - c3
     s3 = jnp.sqrt(3.0) / jnp.maximum(
-        jnp.sqrt(jnp.mean(jnp.sum(p3 * p3, axis=1))), 1e-12)
+        jnp.sqrt(jnp.sum(w * jnp.sum(p3 * p3, axis=1)) / wsum), 1e-12)
     p3 = p3 * s3
     # 2D -> centroid 0, RMS radius sqrt(2)
-    c2 = jnp.mean(pts2d_norm, axis=0)
+    c2 = jnp.sum(pts2d_norm * w[:, None], axis=0) / wsum
     p2 = pts2d_norm - c2
     s2 = jnp.sqrt(2.0) / jnp.maximum(
-        jnp.sqrt(jnp.mean(jnp.sum(p2 * p2, axis=1))), 1e-12)
+        jnp.sqrt(jnp.sum(w * jnp.sum(p2 * p2, axis=1)) / wsum), 1e-12)
     p2 = p2 * s2
 
     X = jnp.concatenate([p3, jnp.ones((n, 1), dtype)], axis=1)  # (N,4)
     zeros = jnp.zeros_like(X)
     u = p2[:, 0:1]
     v = p2[:, 1:2]
-    rows_u = jnp.concatenate([X, zeros, -u * X], axis=1)   # (N,12)
-    rows_v = jnp.concatenate([zeros, X, -v * X], axis=1)   # (N,12)
+    sw = jnp.sqrt(w)[:, None]
+    rows_u = sw * jnp.concatenate([X, zeros, -u * X], axis=1)   # (N,12)
+    rows_v = sw * jnp.concatenate([zeros, X, -v * X], axis=1)   # (N,12)
     A = jnp.concatenate([rows_u, rows_v], axis=0)          # (2N,12)
     _, _, vt = jnp.linalg.svd(A, full_matrices=True)
     Pn = vt[-1].reshape(3, 4)
@@ -152,18 +159,21 @@ def solve_pnp(points_3d: jnp.ndarray, points_2d: jnp.ndarray,
         return _solve_pnp_impl(points_3d, points_2d, cam_K, iters)
 
 
-def _solve_pnp_impl(points_3d, points_2d, cam_K, iters):
-    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    pts3d = points_3d.astype(dtype)
+def _normalize_obs(points_2d, cam_K, dtype):
     pts2d = points_2d.astype(dtype)
     K = cam_K.astype(dtype)
-
-    # Normalized image coordinates.
     xn = (pts2d[:, 0] - K[0, 2]) / K[0, 0]
     yn = (pts2d[:, 1] - K[1, 2]) / K[1, 1]
-    obs = jnp.stack([xn, yn], axis=1)  # (N,2)
+    return jnp.stack([xn, yn], axis=1)  # (N,2)
 
-    R0, t0 = _dlt_init(pts3d, obs)
+
+def _lm_refine(pts3d, obs, R0, t0, iters, w=None):
+    """Weighted LM refinement from (R0, t0); w: optional (N,) weights
+    (sqrt-applied to residual/Jacobian rows — zero drops a point)."""
+    dtype = pts3d.dtype
+    n = pts3d.shape[0]
+    sw = jnp.ones((n,), dtype) if w is None else jnp.sqrt(w.astype(dtype))
+    sw2 = jnp.repeat(sw, 2)  # residual vector interleaves (u,v) per point
 
     def residual(R, t):
         pc = pts3d @ R.T + t               # (N,3)
@@ -188,7 +198,8 @@ def _solve_pnp_impl(points_3d, points_2d, cam_K, iters):
         J_w = jnp.einsum("nij,njk->nik", dpi, dpc_dw)          # (N,2,3)
         J_t = dpi                                              # (N,2,3)
         J = jnp.concatenate([J_w, J_t], axis=2).reshape(-1, 6)  # (2N,6)
-        rv = r.reshape(-1)
+        J = J * sw2[:, None]
+        rv = r.reshape(-1) * sw2
         # Damped least squares via QR on the augmented system — float32-safe
         # (cond(J) instead of cond(J)^2 of the normal equations).
         col_norm = jnp.sqrt(jnp.sum(J * J, axis=0))
@@ -201,7 +212,7 @@ def _solve_pnp_impl(points_3d, points_2d, cam_K, iters):
         R_new = rodrigues(dw) @ R
         t_new = t + dt
         r_new, _ = residual(R_new, t_new)
-        improved = jnp.sum(r_new ** 2) < jnp.sum(rv ** 2)
+        improved = jnp.sum((r_new.reshape(-1) * sw2) ** 2) < jnp.sum(rv ** 2)
         R = jnp.where(improved, R_new, R)
         t = jnp.where(improved, t_new, t)
         lam = jnp.clip(jnp.where(improved, lam * 0.1, lam * 10.0),
@@ -211,6 +222,57 @@ def _solve_pnp_impl(points_3d, points_2d, cam_K, iters):
     (R, t, _), _ = jax.lax.scan(
         lm_step, (R0, t0, jnp.asarray(1e-6, dtype)), None, length=iters)
     return R, t
+
+
+def _solve_pnp_impl(points_3d, points_2d, cam_K, iters):
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    pts3d = points_3d.astype(dtype)
+    obs = _normalize_obs(points_2d, cam_K, dtype)
+    R0, t0 = _dlt_init(pts3d, obs)
+    return _lm_refine(pts3d, obs, R0, t0, iters)
+
+
+def _point_err(pts3d, obs, R, t):
+    pc = pts3d @ R.T + t
+    proj = pc[:, :2] / pc[:, 2:3]
+    return jnp.sqrt(jnp.sum((proj - obs) ** 2, axis=1))  # (N,)
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "rounds"))
+def solve_pnp_robust(points_3d, points_2d, cam_K, iters: int = 20,
+                     rounds: int = 2, keep: float = 0.7):
+    """Outlier-robust PnP: trimmed IRLS restarts, static-shaped/vmappable.
+
+    A handful of grossly-wrong 2D points (a keypoint detector firing on the
+    wrong feature) corrupts the least-squares DLT badly enough that LM
+    converges in the wrong basin — cv2.solvePnP (what the reference calls,
+    `utils/utils.py:17-41`) has the same failure mode, which is why this is
+    an OPTIONAL extension (off by default; `solve_pnp` is the parity path).
+
+    Each round: per-point reprojection errors under the current pose ->
+    keep the best `keep` quantile (weights 1/0, shapes stay static) ->
+    weighted-DLT restart + weighted LM -> accept if the trimmed error
+    improves.  Deterministic RANSAC-lite without the dynamic loop.
+    """
+    with jax.default_matmul_precision("float32"):
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        pts3d = points_3d.astype(dtype)
+        obs = _normalize_obs(points_2d, cam_K, dtype)
+        R0, t0 = _dlt_init(pts3d, obs)
+        R, t = _lm_refine(pts3d, obs, R0, t0, iters)
+        for _ in range(rounds):
+            err = _point_err(pts3d, obs, R, t)
+            thr = jnp.quantile(err, keep)
+            w = (err <= thr).astype(dtype)
+            R0w, t0w = _dlt_init(pts3d, obs, w)
+            R2, t2 = _lm_refine(pts3d, obs, R0w, t0w, iters, w)
+            # accept on the trimmed metric (same inlier set for both)
+            e_old = jnp.sum(w * _point_err(pts3d, obs, R, t) ** 2)
+            e_new = jnp.sum(w * _point_err(pts3d, obs, R2, t2) ** 2)
+            better = e_new < e_old
+            R = jnp.where(better, R2, R)
+            t = jnp.where(better, t2, t)
+        return R, t
 
 
 # Batched variant: (B,N,3),(B,N,2),(3,3) -> (B,3,3),(B,3)

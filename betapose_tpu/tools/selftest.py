@@ -120,7 +120,7 @@ class CubeModel:
         self.half = half
 
 
-def make_scene(rng, model):
+def make_scene(rng, model, z_range=(0.55, 0.8)):
     # LineMod-like viewpoint coverage: full in-plane rotation, limited tilt
     # (the real benchmark's views live on the upper hemisphere; a toy
     # training set can't cover all of SO(3))
@@ -136,7 +136,7 @@ def make_scene(rng, model):
 
     R = rot(ang[0], 0) @ rot(ang[1], 1) @ rot(ang[2], 2)
     t = np.array([rng.uniform(-0.1, 0.1), rng.uniform(-0.08, 0.08),
-                  rng.uniform(0.55, 0.8)])
+                  rng.uniform(*z_range)])
     pose = np.eye(4)
     pose[:3, :3] = R
     pose[:3, 3] = t
@@ -154,22 +154,35 @@ def make_scene(rng, model):
 
 def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=1500,
                  reso=192, inp_h=128, inp_w=96, n_kp=12, seed=0,
-                 verbose=True):
+                 add_dpg=False, kpd_finetune_iters=0, kpd_batch=8,
+                 z_range=(0.55, 0.8), left_keypoints=None, params_dir=None,
+                 pnp_robust_rounds=0, verbose=True):
+    """params_dir: when set, trained weights are saved there
+    (yolo.weights darknet-format + kpd.npz pytree) and reloaded on the
+    next run instead of retraining — fast iteration on the eval side.
+    left_keypoints: PnP pruning (defaults to all n_kp)."""
+    import os
     rng = np.random.default_rng(seed)
     model = CubeModel()
-    # designated keypoints: the 8 unique corners + face centers (well-spread
-    # distinct 3D points, as a SIFT designator would produce)
+    # designated keypoints: the 8 unique corners, 6 face centers, then the
+    # 12 edge midpoints (well-spread distinct 3D points, as a SIFT
+    # designator would produce); more keypoints average down PnP noise
     h = model.half
     corners = np.array([[x, y, z] for x in (-h, h) for y in (-h, h)
                         for z in (-h, h)])
     centers = np.array([[-h, 0, 0], [h, 0, 0], [0, -h, 0], [0, h, 0],
                         [0, 0, -h], [0, 0, h]])
-    kp3d = np.concatenate([corners, centers])[:n_kp]
+    edge_mids = []
+    for i in range(8):
+        for j in range(i + 1, 8):
+            if np.sum(np.abs(corners[i] - corners[j]) > 1e-9) == 1:
+                edge_mids.append((corners[i] + corners[j]) / 2)
+    kp3d = np.concatenate([corners, centers, np.asarray(edge_mids)])[:n_kp]
 
     # ---- stage 2: render + annotate ----
     frames, poses, bboxes, parts = [], [], [], []
     for _ in range(n_frames + n_eval):
-        frame, pose, bbox = make_scene(rng, model)
+        frame, pose, bbox = make_scene(rng, model, z_range)
         _, kp_img = annotate_frame(pose, bbox, model.vertices, kp3d, CAM_K)
         frames.append(frame)
         poses.append(pose)
@@ -184,64 +197,116 @@ def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=1500,
     # ---- stage 3a: train YOLO ----
     cfg_text = YOLO_CFG.format(reso=reso)
     spec = yolo_mod.build_spec(cfg_text)
-    yparams = yolo_mod.init_params(jax.random.PRNGKey(0), spec)
-    ycfg = yolo_train.YoloTrainConfig(lr=1e-3, burn_in=200, steps=(10 ** 6,),
-                                     scales=(0.1,), decay=5e-4)
-    ytx = yolo_train.make_optimizer(ycfg)
-    yopt = ytx.init(yparams)
-    ystep = yolo_train.make_train_step(spec, ytx, reso, reso, donate=False)
+    out_h, out_w = inp_h // 4, inp_w // 4
+    ypath = os.path.join(params_dir, "yolo.weights") if params_dir else None
+    kpath = os.path.join(params_dir, "kpd.npz") if params_dir else None
+    if params_dir:
+        os.makedirs(params_dir, exist_ok=True)
 
-    truths = np.zeros((n_frames, 4, 5), np.float32)
-    for i, bb in enumerate(bboxes[:n_frames]):
-        truths[i, 0] = [(bb[0] + bb[2]) / 2 / 640, (bb[1] + bb[3]) / 2 / 480,
-                        (bb[2] - bb[0]) / 640, (bb[3] - bb[1]) / 480, 0]
-    full_j = jnp.asarray(frames[:n_frames].astype(np.float32) / 255.0)
-    truths_j = jnp.asarray(truths)
-    t0 = time.time()
-    B = 16
-    ykey = jax.random.PRNGKey(3)
-    for it in range(yolo_iters):
-        sel = rng.integers(0, n_frames, B)
-        ykey, k1 = jax.random.split(ykey)
-        aug_imgs, aug_truths = yolo_train.augment_detection_batch(
-            k1, full_j[sel], truths_j[sel], ycfg, reso, reso)
-        yparams, yopt, ym = ystep(yparams, yopt, aug_imgs, aug_truths)
-    if verbose:
-        print(f"yolo trained {yolo_iters} iters "
-              f"(loss {float(ym['loss']):.3f}, "
-              f"iou {float(ym['head0/avg_iou']):.3f}, "
-              f"{time.time() - t0:.0f}s)")
+    if ypath and os.path.exists(ypath):
+        yparams, _ = yolo_mod.load_darknet_weights(spec, ypath)
+        if verbose:
+            print(f"yolo weights loaded from {ypath}")
+    else:
+        yparams = yolo_mod.init_params(jax.random.PRNGKey(0), spec)
+        ycfg = yolo_train.YoloTrainConfig(lr=1e-3, burn_in=200,
+                                          steps=(10 ** 6,),
+                                          scales=(0.1,), decay=5e-4)
+        ytx = yolo_train.make_optimizer(ycfg)
+        yopt = ytx.init(yparams)
+        ystep = yolo_train.make_train_step(spec, ytx, reso, reso,
+                                           donate=False)
+
+        truths = np.zeros((n_frames, 4, 5), np.float32)
+        for i, bb in enumerate(bboxes[:n_frames]):
+            truths[i, 0] = [(bb[0] + bb[2]) / 2 / 640,
+                            (bb[1] + bb[3]) / 2 / 480,
+                            (bb[2] - bb[0]) / 640, (bb[3] - bb[1]) / 480, 0]
+        full_j = jnp.asarray(frames[:n_frames].astype(np.float32) / 255.0)
+        truths_j = jnp.asarray(truths)
+        t0 = time.time()
+        B = 16
+        ykey = jax.random.PRNGKey(3)
+        for it in range(yolo_iters):
+            sel = rng.integers(0, n_frames, B)
+            ykey, k1 = jax.random.split(ykey)
+            aug_imgs, aug_truths = yolo_train.augment_detection_batch(
+                k1, full_j[sel], truths_j[sel], ycfg, reso, reso)
+            yparams, yopt, ym = ystep(yparams, yopt, aug_imgs, aug_truths)
+        if verbose:
+            print(f"yolo trained {yolo_iters} iters "
+                  f"(loss {float(ym['loss']):.3f}, "
+                  f"iou {float(ym['head0/avg_iou']):.3f}, "
+                  f"{time.time() - t0:.0f}s)")
+        if ypath:
+            yolo_mod.save_darknet_weights(spec, jax.device_get(yparams),
+                                          ypath)
 
     # ---- stage 3b: train KPD ----
-    out_h, out_w = inp_h // 4, inp_w // 4
     kparams = kpd_mod.init_params(jax.random.PRNGKey(1), n_classes=n_kp,
                                   arch="resnet50")
-    ktx = kpd_train.make_optimizer("adam", lr=1e-3, params_example=kparams)
-    kopt = ktx.init(kparams)
-    kstep = kpd_train.make_train_step(ktx, out_res_h=out_h, donate=False)
-    # gentle augmentation for the toy task: the cube's mirror image never
-    # occurs, and the tiny training budget can't absorb flip/rotate noise
-    aug_cfg = AugmentConfig(inp_h=inp_h, inp_w=inp_w, out_h=out_h,
-                            out_w=out_w, rotate=0.0, train=True, flip=False)
-    imgs01 = jnp.asarray(frames[:n_frames].astype(np.float32) / 255.0)
-    key = jax.random.PRNGKey(2)
-    t0 = time.time()
-    for it in range(kpd_iters):
-        sel = rng.integers(0, n_frames, 8)
-        key, k1 = jax.random.split(key)
-        batch = augment_batch(k1, imgs01[sel], jnp.asarray(bboxes_np[sel]),
-                              jnp.asarray(parts_np[sel]), aug_cfg)
-        kparams, kopt, km = kstep(kparams, kopt, batch)
-    if verbose:
-        print(f"kpd trained {kpd_iters} iters "
-              f"(loss {float(km['loss']):.5f}, acc {float(km['acc']):.3f}, "
-              f"{time.time() - t0:.0f}s)")
+    if kpath and os.path.exists(kpath):
+        from betapose_tpu.core import checkpoint as ckpt
+        kparams = ckpt.load_pytree_npz(kpath, kparams)
+        if verbose:
+            print(f"kpd weights loaded from {kpath}")
+    else:
+        ktx = kpd_train.make_optimizer("adam", lr=1e-3,
+                                       params_example=kparams)
+        kopt = ktx.init(kparams)
+        kstep = kpd_train.make_train_step(ktx, out_res_h=out_h,
+                                          donate=False)
+        # gentle augmentation for the toy task: the cube's mirror image
+        # never occurs, and the tiny training budget can't absorb
+        # flip/rotate noise
+        aug_cfg = AugmentConfig(inp_h=inp_h, inp_w=inp_w, out_h=out_h,
+                                out_w=out_w, rotate=0.0, train=True,
+                                flip=False, add_dpg=add_dpg)
+        imgs01 = jnp.asarray(frames[:n_frames].astype(np.float32) / 255.0)
+        key = jax.random.PRNGKey(2)
+        t0 = time.time()
+        for it in range(kpd_iters):
+            sel = rng.integers(0, n_frames, kpd_batch)
+            key, k1 = jax.random.split(key)
+            batch = augment_batch(k1, imgs01[sel],
+                                  jnp.asarray(bboxes_np[sel]),
+                                  jnp.asarray(parts_np[sel]), aug_cfg)
+            kparams, kopt, km = kstep(kparams, kopt, batch)
+        if verbose:
+            print(f"kpd trained {kpd_iters} iters "
+                  f"(loss {float(km['loss']):.5f}, "
+                  f"acc {float(km['acc']):.3f}, {time.time() - t0:.0f}s)")
+        if kpd_finetune_iters:
+            # low-LR convergence phase: the subpixel localization that PnP
+            # depth accuracy needs never falls out of a constant 1e-3 Adam
+            ktx2 = kpd_train.make_optimizer("adam", lr=1e-4,
+                                            params_example=kparams)
+            kopt2 = ktx2.init(kparams)
+            kstep2 = kpd_train.make_train_step(ktx2, out_res_h=out_h,
+                                               donate=False)
+            t0 = time.time()
+            for it in range(kpd_finetune_iters):
+                sel = rng.integers(0, n_frames, kpd_batch)
+                key, k1 = jax.random.split(key)
+                batch = augment_batch(k1, imgs01[sel],
+                                      jnp.asarray(bboxes_np[sel]),
+                                      jnp.asarray(parts_np[sel]), aug_cfg)
+                kparams, kopt2, km = kstep2(kparams, kopt2, batch)
+            if verbose:
+                print(f"kpd finetuned {kpd_finetune_iters} iters @1e-4 "
+                      f"(loss {float(km['loss']):.5f}, "
+                      f"acc {float(km['acc']):.3f}, "
+                      f"{time.time() - t0:.0f}s)")
+        if kpath:
+            from betapose_tpu.core import checkpoint as ckpt
+            ckpt.save_pytree_npz(kpath, jax.device_get(kparams))
 
     # ---- stage 3c: fused eval on held-out frames ----
     pcfg = PipelineConfig(
         reso=reso, inp_h=inp_h, inp_w=inp_w, out_h=out_h, out_w=out_w,
-        n_kp=n_kp, left_keypoints=n_kp, confidence=0.005,
-        compute_dtype="float32", pallas_decode=None)
+        n_kp=n_kp, left_keypoints=left_keypoints or n_kp, confidence=0.005,
+        compute_dtype="float32", pallas_decode=None,
+        pnp_robust_rounds=pnp_robust_rounds)
     pipe = PosePipeline(spec, yolo_mod.fold_bn(spec, yparams), kparams,
                         kp3d, CAM_K, pcfg)
     eval_frames = frames[n_frames:]
@@ -272,17 +337,23 @@ def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=1500,
         "n_eval": n_eval,
         "diameter_m": diameter,
         "mean_add_m": float(np.mean(adds)) if adds else float("inf"),
+        "median_add_m": float(np.median(adds)) if adds else float("inf"),
         "add_01d_acc": float(np.sum(ok_01d)) / max(n_eval, 1),
         "mean_2d_px": float(np.mean(errs2d)) if errs2d else float("inf"),
+        "median_2d_px": float(np.median(errs2d)) if errs2d else float("inf"),
         "mean_iou": float(np.mean(ious)) if ious else 0.0,
     }
     if verbose:
         print(f"eval: detected {stats['n_detected']}/{n_eval}, "
-              f"ADD {stats['mean_add_m'] * 100:.2f} cm, "
+              f"ADD {stats['mean_add_m'] * 100:.2f} cm "
+              f"(median {stats['median_add_m'] * 100:.2f}), "
               f"ADD<0.1d acc {stats['add_01d_acc']:.2f} "
               f"(0.1d = {0.1 * diameter * 1000:.1f} mm), "
-              f"2D {stats['mean_2d_px']:.1f} px, "
+              f"2D {stats['mean_2d_px']:.1f} px "
+              f"(median {stats['median_2d_px']:.1f}), "
               f"IoU {stats['mean_iou']:.3f}")
+        print("per-frame ADD (mm):",
+              np.round(np.sort(np.asarray(adds)) * 1000, 1).tolist())
     return stats
 
 
@@ -292,6 +363,13 @@ def main(argv=None):
     p.add_argument("--yolo_iters", type=int, default=250)
     p.add_argument("--kpd_iters", type=int, default=1500)
     p.add_argument("--eval_frames", type=int, default=None)
+    p.add_argument("--params_dir", type=str, default=None,
+                   help="cache trained weights here; reruns skip training")
+    p.add_argument("--left_kp", type=int, default=None,
+                   help="PnP keypoint pruning (default: all)")
+    p.add_argument("--pnp_robust", type=int, default=None,
+                   help="trimmed-IRLS robust-PnP rounds (default: 0 fast "
+                        "tier, 2 slow tier)")
     p.add_argument("--slow", action="store_true",
                    help="accuracy tier: more scenes/iters and full "
                         "LineMod-sized KPD crops, targeting the reference's "
@@ -299,16 +377,24 @@ def main(argv=None):
     args = p.parse_args(argv)
     if args.slow:
         stats = run_selftest(
-            n_frames=max(args.frames, 160),
+            n_frames=max(args.frames, 800),
             n_eval=args.eval_frames or 16,
             yolo_iters=max(args.yolo_iters, 500),
-            kpd_iters=max(args.kpd_iters, 4000),
-            inp_h=256, inp_w=192, n_kp=14)
+            kpd_iters=max(args.kpd_iters, 8000),
+            kpd_finetune_iters=3000, kpd_batch=16,
+            inp_h=320, inp_w=256, n_kp=26, add_dpg=True,
+            z_range=(0.45, 0.65), left_keypoints=args.left_kp,
+            params_dir=args.params_dir,
+            pnp_robust_rounds=2 if args.pnp_robust is None
+            else args.pnp_robust)
     else:
         stats = run_selftest(n_frames=args.frames,
                              yolo_iters=args.yolo_iters,
                              kpd_iters=args.kpd_iters,
-                             n_eval=args.eval_frames or 8)
+                             n_eval=args.eval_frames or 8,
+                             left_keypoints=args.left_kp,
+                             params_dir=args.params_dir,
+                             pnp_robust_rounds=args.pnp_robust or 0)
     return stats
 
 

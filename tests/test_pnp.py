@@ -117,3 +117,54 @@ class TestPnP:
             R_cv, _ = cv2.Rodrigues(rvec)
             R = pnp_mod.rodrigues(jnp.asarray(rvec))
             np.testing.assert_allclose(np.asarray(R), R_cv, atol=1e-6)
+
+
+class TestRobustPnP:
+    def test_gross_outliers_recovered(self):
+        """Trimmed-IRLS robust PnP recovers the pose when ~20% of the 2D
+        points are grossly wrong (which corrupts the least-squares DLT badly
+        enough that plain LM lands in the wrong basin).  Metric-space check
+        (ADD), per the twin-pose caveat."""
+        from betapose_tpu.ops import pnp as pnp_ops
+        rng = np.random.default_rng(3)
+        K = np.array([[572.4, 0, 325.3], [0, 573.6, 242.0], [0, 0, 1.0]])
+        n_fail = 0
+        for _ in range(5):
+            p3 = rng.standard_normal((26, 3)) * 0.04
+            q, _ = np.linalg.qr(rng.standard_normal((3, 3)))
+            if np.linalg.det(q) < 0:
+                q[:, 0] *= -1
+            t = np.array([0.02, -0.03, 0.55])
+            pc = p3 @ q.T + t
+            uv = (K @ pc.T).T
+            uv = uv[:, :2] / uv[:, 2:3]
+            uv += rng.standard_normal(uv.shape) * 1.0
+            bad = rng.choice(26, 5, replace=False)
+            uv[bad] += rng.standard_normal((5, 2)) * 60.0
+            R2, t2 = pnp_ops.solve_pnp_robust(
+                np.asarray(p3), np.asarray(uv), np.asarray(K))
+            pa = p3 @ q.T + t
+            pb = p3 @ np.asarray(R2).T + np.asarray(t2)
+            add_mm = float(np.mean(np.linalg.norm(pa - pb, axis=1))) * 1000
+            n_fail += add_mm > 10.0
+        assert n_fail == 0
+
+    def test_no_outliers_matches_plain(self):
+        from betapose_tpu.ops import pnp as pnp_ops
+        rng = np.random.default_rng(4)
+        K = np.array([[572.4, 0, 325.3], [0, 573.6, 242.0], [0, 0, 1.0]])
+        p3 = rng.standard_normal((30, 3)) * 0.05
+        q, _ = np.linalg.qr(rng.standard_normal((3, 3)))
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1
+        t = np.array([0.01, 0.02, 0.6])
+        pc = p3 @ q.T + t
+        uv = (K @ pc.T).T
+        uv = uv[:, :2] / uv[:, 2:3]
+        R1, t1 = pnp_ops.solve_pnp(np.asarray(p3), np.asarray(uv),
+                                   np.asarray(K))
+        R2, t2 = pnp_ops.solve_pnp_robust(np.asarray(p3), np.asarray(uv),
+                                          np.asarray(K))
+        pa = p3 @ np.asarray(R1).T + np.asarray(t1)
+        pb = p3 @ np.asarray(R2).T + np.asarray(t2)
+        assert float(np.mean(np.linalg.norm(pa - pb, axis=1))) < 1e-4
