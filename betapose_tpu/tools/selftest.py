@@ -383,7 +383,7 @@ def main(argv=None):
             kpd_iters=max(args.kpd_iters, 8000),
             kpd_finetune_iters=3000, kpd_batch=16,
             inp_h=320, inp_w=256, n_kp=26, add_dpg=True,
-            z_range=(0.45, 0.65), left_keypoints=args.left_kp,
+            z_range=(0.45, 0.65), left_keypoints=args.left_kp or 20,
             params_dir=args.params_dir,
             pnp_robust_rounds=2 if args.pnp_robust is None
             else args.pnp_robust)
