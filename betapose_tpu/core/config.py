@@ -40,6 +40,8 @@ class DetectionConfig:
     preproc: str = "stretch"          # 'stretch' | 'letterbox'
     det_capacity: int = 1             # boxes/frame; >1 enables the
     #                                 # multi-candidate pose-NMS path
+    pnp_robust: int = 0               # trimmed-IRLS robust-PnP rounds
+    #                                 # (0 = reference least-squares)
 
 
 @dataclasses.dataclass
@@ -109,6 +111,7 @@ class Config:
         d.nms_thresh = args.nms_thesh
         d.det_batch = args.detbatch
         d.det_capacity = getattr(args, "det_capacity", 1)
+        d.pnp_robust = getattr(args, "pnp_robust", 0)
         d.pose_batch = args.posebatch
         t = c.train
         t.lr = args.LR
@@ -208,6 +211,9 @@ def make_parser(description: str = "Betapose-TPU") -> argparse.ArgumentParser:
                    help="max detections kept per frame; >1 routes crowded "
                         "scenes through the full parametric pose-NMS "
                         "(TPU-stack extension; 1 = reference best-box)")
+    p.add_argument("--pnp_robust", type=int, default=0,
+                   help="trimmed-IRLS robust-PnP rounds (TPU-stack "
+                        "extension; 0 = reference least-squares PnP)")
     p.add_argument("--save_img", default=False, action="store_true")
     p.add_argument("--vis", default=False, action="store_true")
     p.add_argument("--format", type=str)

@@ -113,7 +113,8 @@ def build_pipeline(cfg: Config, args, kp_vertices, cam_K,
         left_keypoints=TOTAL_KP_NUMBER,  # betapose_evaluate.py:138 passes 50
         preproc=args.preproc,
         det_capacity=cfg.detection.det_capacity,
-        nms_thresh=cfg.detection.nms_thresh)
+        nms_thresh=cfg.detection.nms_thresh,
+        pnp_robust_rounds=cfg.detection.pnp_robust)
     return PosePipeline(spec, yolo_params, kpd_params, kp_vertices, cam_K,
                         pcfg, left_keypoints=left_keypoints)
 
