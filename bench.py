@@ -119,14 +119,10 @@ def main():
             jax.device_get(pipe(fr)["cam_t"])
 
         # ---- honest e2e: disk -> decode -> H2D -> compute -> D2H ----
+        # (the pipeline's own software-pipelined batch runner — the same
+        # dispatch-ahead/fetch-behind path the eval CLIs use)
         t0 = time.perf_counter()
-        pending = None
-        for fr in PrefetchLoader(paths, batch):   # software pipelining
-            out = pipe(fr)
-            if pending is not None:
-                jax.device_get(pending)
-            pending = out
-        jax.device_get(pending)
+        pipe.run_batches(PrefetchLoader(paths, batch))
         e2e_fps = len(paths) / (time.perf_counter() - t0)
 
     # Headline selection: e2e (disk -> decode -> H2D -> compute -> D2H) is

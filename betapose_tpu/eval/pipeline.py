@@ -143,18 +143,25 @@ def _pnp_one(cfg: PipelineConfig, p3, p2, cam_K):
     return pnp_ops.solve_pnp(p3, p2, cam_K, iters=cfg.pnp_iters)
 
 
+def _decode_crops(cfg: PipelineConfig, hm, pt1, pt2):
+    """Shared heatmap-peak decode (crop -> image coords), with the
+    pallas auto-gate resolved in ONE place for both pipeline modes."""
+    use_pallas = cfg.pallas_decode
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    return hm_ops.decode_heatmaps(
+        hm, pt1, pt2, cfg.inp_h, cfg.inp_w, cfg.out_h, cfg.out_w,
+        use_pallas=use_pallas)
+
+
 def make_post_stage(cfg: PipelineConfig):
     """Stage 3 — decode + pose-NMS + keypoint pruning + PnP (the 'pn'
     bucket; the reference's DataWriter.update chain)."""
 
     def post_stage(hm, det, kp3d, cam_K):
         b = hm.shape[0]
-        use_pallas = cfg.pallas_decode
-        if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
-        preds_hm, preds_img, maxval = hm_ops.decode_heatmaps(
-            hm, det["pt1"], det["pt2"], cfg.inp_h, cfg.inp_w,
-            cfg.out_h, cfg.out_w, use_pallas=use_pallas)
+        preds_hm, preds_img, maxval = _decode_crops(
+            cfg, hm, det["pt1"], det["pt2"])
 
         def nms_one(box, obj_score, kp, sc):
             return pnms.pose_nms_single(box, obj_score, kp, sc)
@@ -219,16 +226,22 @@ def make_candidates_step(yolo_spec, cfg: PipelineConfig):
     DataWriter flow for crowded/occlusion scenes."""
     det_stage = make_det_stage(yolo_spec, cfg)
     pose_stage = make_pose_stage(cfg)
+    decode_stage = make_candidates_decode_stage(cfg)
 
     def step(yolo_params, kpd_params, frames):
         det = det_stage(yolo_params, frames)
         hm = pose_stage(kpd_params, det["crops"])
-        use_pallas = cfg.pallas_decode
-        if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
-        _, preds_img, maxval = hm_ops.decode_heatmaps(
-            hm, det["pt1"], det["pt2"], cfg.inp_h, cfg.inp_w,
-            cfg.out_h, cfg.out_w, use_pallas=use_pallas)
+        return decode_stage(hm, det)
+
+    return step
+
+
+def make_candidates_decode_stage(cfg: PipelineConfig):
+    """Decode sub-stage of the multi-candidate graph: heatmaps + det ->
+    per-candidate keypoint candidates [B, N, ...]."""
+
+    def decode_stage(hm, det):
+        _, preds_img, maxval = _decode_crops(cfg, hm, det["pt1"], det["pt2"])
         b, n = det["boxes"].shape[:2]
         return {
             "boxes": det["boxes"],                        # [B,N,4]
@@ -238,7 +251,7 @@ def make_candidates_step(yolo_spec, cfg: PipelineConfig):
             "kp_scores": maxval.reshape(b, n, cfg.n_kp),
         }
 
-    return step
+    return decode_stage
 
 
 class PosePipeline:
@@ -377,15 +390,13 @@ class PosePipeline:
         blocking between them to fill `prof`'s dt/pt/pn buckets (the
         reference's per-stage readout, `betapose_evaluate.py:132-136`).
         Slightly slower than the fused step (three dispatches + syncs)."""
-        if self.cfg.det_capacity > 1:
-            # multi-candidate mode has its own host post stage; per-stage
-            # buckets are not split there
-            return self(frames_u8)
         if self._stages is None:
+            multi = self.cfg.det_capacity > 1
             self._stages = (
                 jax.jit(make_det_stage(self.spec, self.cfg)),
                 jax.jit(make_pose_stage(self.cfg)),
-                jax.jit(make_post_stage(self.cfg)),
+                jax.jit(make_candidates_decode_stage(self.cfg)) if multi
+                else jax.jit(make_post_stage(self.cfg)),
             )
         det_fn, pose_fn, post_fn = self._stages
         frames = jax.device_put(jnp.asarray(frames_u8))
@@ -394,8 +405,15 @@ class PosePipeline:
         with prof.bucket("pt"):
             hm = jax.block_until_ready(pose_fn(self.kpd_params, det["crops"]))
         with prof.bucket("pn"):
-            out = jax.block_until_ready(
-                post_fn(hm, det, self.kp3d, self.cam_K))
+            if self.cfg.det_capacity > 1:
+                # decode on device, then the host pose-NMS + batched PnP —
+                # all of it is the reference's 'post processing' bucket
+                cand = jax.block_until_ready(post_fn(hm, det))
+                out = self._host_pose_nms(cand)
+                jax.block_until_ready((out["cam_R"], out["cam_t"]))
+            else:
+                out = jax.block_until_ready(
+                    post_fn(hm, det, self.kp3d, self.cam_K))
         return out
 
     def run_batches(self, frame_iter, progress=None):

@@ -30,6 +30,11 @@ class ShardedPosePipeline:
                  cfg: PipelineConfig | None = None, mesh=None,
                  n_devices=None, model_parallel: int = 1):
         self.cfg = cfg or PipelineConfig()
+        if self.cfg.det_capacity > 1:
+            raise ValueError(
+                "ShardedPosePipeline supports only the fused capacity-1 "
+                "graph; multi-candidate mode (det_capacity > 1) needs the "
+                "host pose-NMS stage — use PosePipeline")
         self.mesh = mesh or mesh_mod.make_mesh(n_devices, model_parallel)
         self.spec = spec
         if model_parallel > 1 or "model" in self.mesh.shape:

@@ -113,6 +113,14 @@ def main(argv=None):
             return hgprm.forward(p, x, all_heads=train, train=train,
                                  bn_stats=bn_stats)
 
+        def prepare_infer(p, batch_inps):
+            # hgPRM trains with batch-stat BN and does NOT roll running
+            # stats — calibrate them on a representative batch before any
+            # inference-mode use (validation, checkpoints); without this
+            # the running stats stay at init identity and eval activations
+            # are unnormalized (hgprm.forward docstring)
+            return hgprm.calibrate_bn(p, batch_inps)
+
         def load_params(path):
             # hgPRM has no torch checkpoint contract (the reference fork
             # never trained it); our own .npz pytrees only.
@@ -121,6 +129,7 @@ def main(argv=None):
         params = kpd_mod.init_params(jax.random.PRNGKey(0), n_classes=n_kp,
                                      arch=arch)
         forward_fn = None
+        prepare_infer = None  # FastPose rolls BN stats during training
 
         def load_params(path):
             return ckpt.load_kpd_checkpoint(path, n_kp, arch)
@@ -168,6 +177,7 @@ def main(argv=None):
 
     best_epoch, best_acc = 0, -1.0
     it = args.trainIters
+    infer_params = params
     for epoch in range(start_epoch, args.nEpochs):
         t0 = time.time()
         ep_loss, ep_acc, n_it = 0.0, 0.0, 0
@@ -193,6 +203,13 @@ def main(argv=None):
               f"| {time.time() - t0:.1f}s")
         log.flush()
 
+        # inference-ready params for validation + checkpoints (hgPRM needs
+        # post-hoc BN calibration on a representative batch; FastPose's
+        # rolling stats are already inference-ready)
+        infer_params = params
+        if prepare_infer is not None and n_it > 0:
+            infer_params = prepare_infer(params, batch["inps"])
+
         if valid_ds is not None and epoch % args.valid_every == 0:
             v_loss, v_acc, nv = 0.0, 0.0, 0
             vcfg = AugmentConfig(
@@ -204,7 +221,7 @@ def main(argv=None):
                     k1, jnp.asarray(batch_host["imgs"]),
                     jnp.asarray(batch_host["bndbox"]),
                     jnp.asarray(batch_host["part"]), vcfg)
-                m = eval_step(params, batch)
+                m = eval_step(infer_params, batch)
                 v_loss += float(m["loss"])
                 v_acc += float(m["acc"])
                 nv += 1
@@ -219,15 +236,15 @@ def main(argv=None):
         if args.snapshot and epoch % args.snapshot == 0:
             ckpt.save_pytree_npz(
                 os.path.join(exp_dir, f"model_{epoch}.npz"),
-                jax.device_get(params))
+                jax.device_get(infer_params))
             ckpt.save_pytree_npz(os.path.join(exp_dir, "optimizer.npz"),
                                  jax.device_get(opt_state))
             with open(os.path.join(exp_dir, "option.json"), "w") as f:
                 json.dump(vars(args), f, default=str)
     print(f"Best epoch: {best_epoch}, acc {best_acc:.4f}")
     ckpt.save_pytree_npz(os.path.join(exp_dir, "model_final.npz"),
-                         jax.device_get(params))
-    return params
+                         jax.device_get(infer_params))
+    return infer_params
 
 
 if __name__ == "__main__":
