@@ -172,6 +172,28 @@ def build_spec(cfg) -> NetworkSpec:
             layers.append(LayerSpec("cost", cin))
             out_channels.append(cin)
             dims.append((cur_h, cur_w))
+        elif t == "reorg":
+            # YOLOv2 space-to-depth (reorg_layer.c): (h,w,c) ->
+            # (h/s, w/s, c*s^2) with darknet's channel interleave
+            stride = int(b.get("stride", 1))
+            layers.append(LayerSpec("reorg", cin * stride * stride,
+                                    stride=stride, in_channels=cin))
+            out_channels.append(cin * stride * stride)
+            dims.append((None if cur_h is None else cur_h // stride,
+                         None if cur_w is None else cur_w // stride))
+        elif t == "region":
+            # YOLOv2 detection head (region_layer.c): all `num` anchors in
+            # GRID units (no mask), classes softmaxed
+            flat = [float(x)
+                    for x in b["anchors"].replace(" ", "").split(",")]
+            anchors = tuple((flat[j], flat[j + 1])
+                            for j in range(0, len(flat), 2))
+            needed.add(i - 1)
+            layers.append(LayerSpec(
+                "region", cin, anchors=anchors,
+                num_classes=int(b["classes"])))
+            out_channels.append(cin)
+            dims.append((cur_h, cur_w))
         elif t == "yolo":
             mask = [int(x) for x in b["mask"].split(",")]
             flat = [int(float(x)) for x in b["anchors"].replace(" ", "").split(",")]
@@ -188,7 +210,7 @@ def build_spec(cfg) -> NetworkSpec:
             raise ValueError(
                 f"unsupported block type: {t} (supported: convolutional,"
                 " shortcut, route, upsample, maxpool, avgpool, connected,"
-                " dropout, softmax, cost, yolo)")
+                " dropout, softmax, cost, reorg, region, yolo)")
     return NetworkSpec(tuple(layers), frozenset(needed), net_info)
 
 
@@ -526,6 +548,53 @@ def _maxpool(x, size, stride):
         ((0, 0),) + padding + ((0, 0),))
 
 
+def _reorg(x, stride):
+    """darknet reorg (blas.c reorg_cpu, forward path): NHWC
+    [B,H,W,C] -> [B,H/s,W/s,C*s^2] with the darknet interleave —
+    output channel k = off*C + c2 takes input channel c2 at spatial
+    offset (off//s, off%s) on the stride-s grid:
+        out[b, j, i, off*C + c2] = in[b, j*s + off//s, i*s + off%s, c2].
+    Static python loop over the s^2 offsets: pure slices, no gathers."""
+    blocks = [x[:, off // stride::stride, off % stride::stride, :]
+              for off in range(stride * stride)]
+    return jnp.concatenate(blocks, axis=-1)
+
+
+def decode_region_head(x_nhwc, anchors, num_classes, reso):
+    """Decode a YOLOv2 [region] head (region_layer.c forward +
+    get_region_box with DOABS=1, region_layer.c:78-90,179-210):
+      bx = (cx + sigmoid(tx)) / gs,  bw = exp(tw) * anchor_w / gs
+    (anchors in grid units, everything normalized to [0,1] then scaled to
+    input-resolution pixels here to match `decode_head`'s convention);
+    objectness sigmoid; classes SOFTMAXed (v3 uses per-class sigmoid).
+    Rows are emitted anchor-major like `decode_head` (ordering is not a
+    contract — downstream selection is order-free)."""
+    b, gs, _, _ = x_nhwc.shape
+    na = len(anchors)
+    attrs = 5 + num_classes
+    x = x_nhwc.reshape(b, gs, gs, na, attrs)
+    x = x.transpose(0, 3, 1, 2, 4).astype(jnp.float32)  # [B,nA,gs,gs,attrs]
+
+    grid = jnp.arange(gs, dtype=jnp.float32)
+    cx = grid[None, None, None, :]
+    cy = grid[None, None, :, None]
+    anchors_arr = jnp.asarray(anchors, jnp.float32)     # grid units
+    aw = anchors_arr[:, 0][None, :, None, None]
+    ah = anchors_arr[:, 1][None, :, None, None]
+
+    scale = reso / gs
+    bx = (jax.nn.sigmoid(x[..., 0]) + cx) * scale
+    by = (jax.nn.sigmoid(x[..., 1]) + cy) * scale
+    bw = jnp.exp(x[..., 2]) * aw * scale
+    bh = jnp.exp(x[..., 3]) * ah * scale
+    obj = jax.nn.sigmoid(x[..., 4])
+    cls = jax.nn.softmax(x[..., 5:], axis=-1)
+    out = jnp.concatenate(
+        [bx[..., None], by[..., None], bw[..., None], bh[..., None],
+         obj[..., None], cls], axis=-1)
+    return out.reshape(b, na * gs * gs, attrs)
+
+
 def decode_head(x_nhwc, anchors, num_classes, reso):
     """Decode one yolo head's raw conv output to boxes.
 
@@ -597,6 +666,14 @@ def forward(spec: NetworkSpec, params, x, reso: int, decode: bool = True,
             x = jax.nn.softmax(x.astype(jnp.float32), axis=-1).astype(x.dtype)
         elif l.kind in ("dropout", "cost"):
             pass  # identity at inference (forward_dropout/cost gate on train)
+        elif l.kind == "reorg":
+            x = _reorg(x, l.stride)
+        elif l.kind == "region":
+            raw_heads.append(x)
+            if decode:
+                decoded.append(
+                    decode_region_head(x, l.anchors, l.num_classes, reso))
+            x = cache[i - 1]
         elif l.kind == "yolo":
             raw_heads.append(x)
             if decode:

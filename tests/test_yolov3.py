@@ -375,3 +375,147 @@ class TestLayerZoo:
     def test_unsupported_block_message_lists_zoo(self):
         with pytest.raises(ValueError, match="avgpool"):
             yolov3.build_spec("[net]\nwidth=32\nheight=32\n\n[rnn]\noutput=4")
+
+
+YOLOV2_TINY_CFG = """
+[net]
+width=96
+height=96
+channels=3
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[route]
+layers=-2
+
+[reorg]
+stride=2
+
+[route]
+layers=-1,-3
+
+[convolutional]
+size=1
+stride=1
+pad=1
+filters=35
+activation=linear
+
+[region]
+anchors = 1.3221, 1.73145,  3.19275, 4.00944,  5.05587, 8.09892,  9.47112, 4.84053,  11.2364, 10.0071
+bias_match=1
+classes=2
+coords=4
+num=5
+softmax=1
+"""
+
+
+def _reorg_oracle_chw(x, stride):
+    """Direct transcription of blas.c reorg_cpu (non-reverse forward:
+    out[in_index] = x[out_index], reorg_layer.c:79-87).  x: [B,C,H,W]."""
+    b_, c, h, w = x.shape
+    out_c, out_h, out_w = c * stride * stride, h // stride, w // stride
+    in_c = out_c // (stride * stride)
+    out = np.zeros((b_, out_c, out_h, out_w), x.dtype)
+    for b in range(b_):
+        for k in range(out_c):
+            for j in range(out_h):
+                for i in range(out_w):
+                    c2 = k % in_c
+                    offset = k // in_c
+                    w2 = i * stride + offset % stride
+                    h2 = j * stride + offset // stride
+                    out[b, k, j, i] = x[b, c2, h2, w2]
+    return out
+
+
+class TestYoloV2:
+    """YOLOv2 layers: [reorg] (darknet space-to-depth interleave) and
+    [region] (grid-unit anchors + softmax classes, region_layer.c)."""
+
+    def test_reorg_matches_c_transcription(self):
+        rng = np.random.RandomState(0)
+        x_chw = rng.rand(2, 4, 6, 8).astype(np.float32)
+        want = _reorg_oracle_chw(x_chw, 2)
+        x_nhwc = jnp.asarray(x_chw.transpose(0, 2, 3, 1))
+        got = np.asarray(yolov3._reorg(x_nhwc, 2)).transpose(0, 3, 1, 2)
+        np.testing.assert_array_equal(got, want)
+
+    def test_region_decode_matches_numpy_oracle(self):
+        rng = np.random.RandomState(1)
+        gs, na, nc, reso = 3, 2, 2, 96
+        anchors = ((1.5, 2.0), (3.25, 1.0))
+        attrs = 5 + nc
+        raw = rng.randn(1, gs, gs, na * attrs).astype(np.float32)
+        got = np.asarray(yolov3.decode_region_head(
+            jnp.asarray(raw), anchors, nc, reso))
+
+        def sigmoid(v):
+            return 1.0 / (1.0 + np.exp(-v))
+
+        # oracle: get_region_box w/ DOABS (region_layer.c:78-90) scaled to
+        # input pixels; anchor-major row order
+        r = raw.reshape(1, gs, gs, na, attrs)
+        for a in range(na):
+            for j in range(gs):
+                for i in range(gs):
+                    row = got[0, a * gs * gs + j * gs + i]
+                    t = r[0, j, i, a]
+                    np.testing.assert_allclose(
+                        row[0], (i + sigmoid(t[0])) / gs * reso, rtol=1e-5)
+                    np.testing.assert_allclose(
+                        row[1], (j + sigmoid(t[1])) / gs * reso, rtol=1e-5)
+                    np.testing.assert_allclose(
+                        row[2], np.exp(t[2]) * anchors[a][0] / gs * reso,
+                        rtol=1e-5)
+                    np.testing.assert_allclose(
+                        row[3], np.exp(t[3]) * anchors[a][1] / gs * reso,
+                        rtol=1e-5)
+                    np.testing.assert_allclose(row[4], sigmoid(t[4]),
+                                               rtol=1e-5)
+                    e = np.exp(t[5:] - t[5:].max())
+                    np.testing.assert_allclose(row[5:], e / e.sum(),
+                                               rtol=1e-4)
+
+    def test_v2_net_builds_runs_roundtrips(self, tmp_path):
+        spec = yolov3.build_spec(YOLOV2_TINY_CFG)
+        kinds = [l.kind for l in spec.layers]
+        assert "reorg" in kinds and "region" in kinds
+        params = yolov3.init_params(jax.random.PRNGKey(5), spec)
+        x = jnp.asarray(np.random.RandomState(2).rand(2, 96, 96, 3)
+                        .astype(np.float32))
+        dets = np.asarray(yolov3.forward(spec, params, x, reso=96))
+        # 12x12 grid (stride 8), 5 anchors, 2 classes
+        assert dets.shape == (2, 5 * 12 * 12, 7)
+        # objectness and class probs in [0,1], class rows sum to 1
+        assert (dets[..., 4] >= 0).all() and (dets[..., 4] <= 1).all()
+        np.testing.assert_allclose(dets[..., 5:].sum(-1), 1.0, rtol=1e-4)
+        path = str(tmp_path / "v2.weights")
+        yolov3.save_darknet_weights(spec, params, path)
+        loaded, _ = yolov3.load_darknet_weights(spec, path,
+                                                allow_partial=False)
+        out2 = np.asarray(yolov3.forward(spec, loaded, x, reso=96))
+        np.testing.assert_array_equal(dets, out2)
