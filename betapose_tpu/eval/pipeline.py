@@ -83,7 +83,8 @@ def make_det_stage(yolo_spec, cfg: PipelineConfig):
             # ---- multi-candidate: up to N greedy-NMS'd boxes per frame ----
             cand = box_ops.top_boxes(
                 dets, cfg.confidence, cfg.target_class,
-                capacity=cfg.det_capacity, nms_thresh=cfg.nms_thresh)
+                capacity=cfg.det_capacity, nms_thresh=cfg.nms_thresh,
+                prefilter=max(64, cfg.det_capacity * 8))
             if cfg.preproc == "stretch":
                 boxes = box_ops.rescale_boxes(cand["boxes"], w0, h0, cfg.reso)
             else:
@@ -287,16 +288,18 @@ class PosePipeline:
 
     @staticmethod
     def _is_oom(e: Exception) -> bool:
-        """True only for a real XLA out-of-memory: the XLA runtime error type
-        with the RESOURCE_EXHAUSTED status code as the message prefix (a
-        transient tunnel HTTP 500 merely *containing* that substring must
-        not trigger the batch-halving fallback)."""
+        """True only for a real XLA out-of-memory: the XLA runtime error
+        TYPE carrying the RESOURCE_EXHAUSTED status anywhere in the message
+        (runtimes/tunnels may prefix it, e.g. 'INTERNAL: ...
+        RESOURCE_EXHAUSTED: out of memory').  The type check is what keeps
+        a transient non-XLA tunnel HTTP error from triggering the
+        batch-halving fallback."""
         try:
             from jaxlib.xla_client import XlaRuntimeError
         except ImportError:  # pragma: no cover - jaxlib layout drift
             from jax.errors import JaxRuntimeError as XlaRuntimeError
         return (isinstance(e, XlaRuntimeError)
-                and str(e).startswith("RESOURCE_EXHAUSTED"))
+                and "RESOURCE_EXHAUSTED" in str(e))
 
     def __call__(self, frames_u8: np.ndarray):
         """frames_u8: [B, H, W, 3] RGB uint8. Returns dict of host arrays.
@@ -360,8 +363,11 @@ class PosePipeline:
             best = max(results, key=lambda r: r["proposal_score"])
             kp = np.asarray(best["keypoints"], np.float32)
             sc = np.asarray(best["kp_score"], np.float32)[:, 0]
-            boxes[i] = best["bbox"]
-            obj_score[i] = cand["obj_score"][i][v].max()
+            # the picked candidate's own box + objectness (NOT the
+            # reference's bboxes[0] quirk, and not the max over candidates
+            # — outputs must be attributed to the winning detection)
+            boxes[i] = best["pick_bbox"]
+            obj_score[i] = best["bbox_score"]
             keypoints[i], kp_scores[i] = kp, sc
             proposal[i] = best["proposal_score"]
             valid[i] = True

@@ -141,6 +141,11 @@ def pose_nms(bboxes, bbox_scores, pose_preds, pose_scores, delta2=DELTA2):
             "proposal_score": float(
                 merge_score.mean() + ori_bbox_scores[p]
                 + 1.25 * merge_score.max()),
+            # extensions beyond the reference dict (additive): the PICKED
+            # candidate's own box/score, so callers can attribute outputs
+            # to the detection that actually won the cluster
+            "pick_bbox": bboxes[p],
+            "bbox_score": float(ori_bbox_scores[p]),
         })
     return final_result
 

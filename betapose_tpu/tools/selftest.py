@@ -201,10 +201,28 @@ def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=1500,
     ypath = os.path.join(params_dir, "yolo.weights") if params_dir else None
     kpath = os.path.join(params_dir, "kpd.npz") if params_dir else None
     if params_dir:
+        import json
         os.makedirs(params_dir, exist_ok=True)
+        # cache fingerprint: a cache written under one tier/config must not
+        # be silently misloaded under another (shapes may even coincide)
+        fp = {"n_frames": n_frames, "reso": reso, "inp_h": inp_h,
+              "inp_w": inp_w, "n_kp": n_kp, "seed": seed,
+              "z_range": list(z_range)}
+        fp_path = os.path.join(params_dir, "config.json")
+        if os.path.exists(fp_path):
+            on_disk = json.load(open(fp_path))
+            if on_disk != fp:
+                raise ValueError(
+                    f"params_dir {params_dir} was trained with a different "
+                    f"config: cached {on_disk} vs requested {fp} — use a "
+                    "fresh --params_dir or delete the cache")
+        else:
+            with open(fp_path, "w") as f:
+                json.dump(fp, f)
 
     if ypath and os.path.exists(ypath):
-        yparams, _ = yolo_mod.load_darknet_weights(spec, ypath)
+        yparams, _ = yolo_mod.load_darknet_weights(spec, ypath,
+                                                   allow_partial=False)
         if verbose:
             print(f"yolo weights loaded from {ypath}")
     else:

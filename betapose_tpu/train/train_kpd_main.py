@@ -77,26 +77,7 @@ def main(argv=None):
     parser = add_train_args(make_parser("Betapose-TPU KPD training"))
     args = parser.parse_args(argv)
 
-    if args.netType not in ("resnet50", "resnet101", "hgPRM"):
-        raise ValueError(
-            f"unsupported --netType {args.netType!r}: expected resnet50,"
-            " resnet101, or hgPRM")
-
-    exp_dir = os.path.join(args.exp_root, args.dataset, args.expID)
-    os.makedirs(exp_dir, exist_ok=True)
-    log = MetricsLogger(os.path.join(args.tb_root, args.dataset, args.expID))
-
-    img_dir = args.img_dir or args.annot_dir
-    train_ds = KPDTrainDataset(
-        os.path.join(args.annot_dir, "annot_train.h5"),
-        os.path.join(img_dir, "train"), args.trainBatch, shuffle=True)
-    try:
-        valid_ds = KPDTrainDataset(
-            os.path.join(args.annot_dir, "annot_eval.h5"),
-            os.path.join(img_dir, "eval"), args.validBatch, shuffle=False)
-    except Exception:
-        valid_ds = None
-
+    # ---- arch dispatch first: fail fast before any dataset IO ----
     n_kp = args.nClasses
     arch = args.netType
     if arch == "hgPRM":
@@ -137,6 +118,22 @@ def main(argv=None):
         raise ValueError(
             f"unsupported --netType {arch!r}: expected resnet50, resnet101,"
             " or hgPRM")
+
+    exp_dir = os.path.join(args.exp_root, args.dataset, args.expID)
+    os.makedirs(exp_dir, exist_ok=True)
+    log = MetricsLogger(os.path.join(args.tb_root, args.dataset, args.expID))
+
+    img_dir = args.img_dir or args.annot_dir
+    train_ds = KPDTrainDataset(
+        os.path.join(args.annot_dir, "annot_train.h5"),
+        os.path.join(img_dir, "train"), args.trainBatch, shuffle=True)
+    try:
+        valid_ds = KPDTrainDataset(
+            os.path.join(args.annot_dir, "annot_eval.h5"),
+            os.path.join(img_dir, "eval"), args.validBatch, shuffle=False)
+    except Exception:
+        valid_ds = None
+
     start_epoch = args.epoch
     if args.loadModel:
         params = load_params(args.loadModel)
@@ -177,7 +174,7 @@ def main(argv=None):
 
     best_epoch, best_acc = 0, -1.0
     it = args.trainIters
-    infer_params = params
+    last_batch = None
     for epoch in range(start_epoch, args.nEpochs):
         t0 = time.time()
         ep_loss, ep_acc, n_it = 0.0, 0.0, 0
@@ -204,13 +201,19 @@ def main(argv=None):
         log.flush()
 
         # inference-ready params for validation + checkpoints (hgPRM needs
-        # post-hoc BN calibration on a representative batch; FastPose's
-        # rolling stats are already inference-ready)
+        # post-hoc BN calibration on a representative batch — an eager full
+        # forward pass, so compute it only on epochs that consume it;
+        # FastPose's rolling stats are already inference-ready)
+        do_valid = valid_ds is not None and epoch % args.valid_every == 0
+        do_snap = bool(args.snapshot) and epoch % args.snapshot == 0
+        if n_it > 0:
+            last_batch = batch
         infer_params = params
-        if prepare_infer is not None and n_it > 0:
-            infer_params = prepare_infer(params, batch["inps"])
+        if prepare_infer is not None and (do_valid or do_snap) \
+                and last_batch is not None:
+            infer_params = prepare_infer(params, last_batch["inps"])
 
-        if valid_ds is not None and epoch % args.valid_every == 0:
+        if do_valid:
             v_loss, v_acc, nv = 0.0, 0.0, 0
             vcfg = AugmentConfig(
                 inp_h=args.inputResH, inp_w=args.inputResW,
@@ -233,7 +236,7 @@ def main(argv=None):
             if v_acc > best_acc:
                 best_acc, best_epoch = v_acc, epoch
 
-        if args.snapshot and epoch % args.snapshot == 0:
+        if do_snap:
             ckpt.save_pytree_npz(
                 os.path.join(exp_dir, f"model_{epoch}.npz"),
                 jax.device_get(infer_params))
@@ -242,9 +245,12 @@ def main(argv=None):
             with open(os.path.join(exp_dir, "option.json"), "w") as f:
                 json.dump(vars(args), f, default=str)
     print(f"Best epoch: {best_epoch}, acc {best_acc:.4f}")
+    final_params = params
+    if prepare_infer is not None and last_batch is not None:
+        final_params = prepare_infer(params, last_batch["inps"])
     ckpt.save_pytree_npz(os.path.join(exp_dir, "model_final.npz"),
-                         jax.device_get(infer_params))
-    return infer_params
+                         jax.device_get(final_params))
+    return final_params
 
 
 if __name__ == "__main__":
