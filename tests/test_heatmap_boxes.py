@@ -280,3 +280,28 @@ class TestTopBoxes:
         out = box_ops.top_boxes(jnp.asarray(pred), confidence=0.5,
                                 target_class=0, capacity=3)
         assert int(np.asarray(out["valid"][0]).sum()) == 1
+
+
+class TestPoseNMSPickFields:
+    def test_pick_bbox_and_score_attribute_the_winner(self):
+        """The additive pick_bbox/bbox_score fields must belong to the
+        candidate the NMS picked (highest mean pose score), not to index 0
+        (whose bbox the reference-quirk 'bbox' field reports)."""
+        rng = np.random.default_rng(9)
+        n, k = 2, 50
+        bboxes = np.array([[10, 10, 110, 120], [500, 10, 610, 130]],
+                          np.float64)
+        bscores = np.array([0.2, 0.9])
+        preds = rng.random((n, k, 2)) * 50
+        preds[1] += 500.0                      # far apart -> two proposals
+        scores = np.full((n, k, 1), 0.5)
+        scores[1] = 0.95                       # candidate 1 wins its cluster
+        out = pnms.pose_nms(bboxes, bscores, preds, scores)
+        assert len(out) == 2
+        by_score = {round(r["bbox_score"], 6) for r in out}
+        assert by_score == {0.2, 0.9}
+        for r in out:
+            if r["bbox_score"] == 0.9:
+                np.testing.assert_array_equal(r["pick_bbox"], bboxes[1])
+            # reference-quirk field stays bboxes[0] for every result
+            np.testing.assert_array_equal(r["bbox"], bboxes[0])
