@@ -8,6 +8,7 @@ Counterpart of the vendored darknet's command surface
   python -m betapose_tpu.tools.darknet_cli detector valid  <data> <cfg> <weights>
   python -m betapose_tpu.tools.darknet_cli detector recall <data> <cfg> <weights>
   python -m betapose_tpu.tools.darknet_cli detector map    <data> <cfg> <weights> [-iou_thresh .25]
+  python -m betapose_tpu.tools.darknet_cli detector demo   <data> <cfg> <weights> [video] [-out_filename o.avi] [-c 0] [-max_frames N]
   python -m betapose_tpu.tools.darknet_cli partial <cfg> <weights> <out> <cutoff>
 
 .data files are the same key=value format (`option_list.c read_data_cfg`):
@@ -82,28 +83,37 @@ def _detect_images(spec, params, reso, paths, thresh, nms_thresh=0.45,
             imgs.append(cv2.resize(im, (reso, reso)).astype(np.float32) / 255)
         x = jnp.asarray(np.stack(imgs))
         preds = np.asarray(infer(x))
-        for bi, (h0, w0) in enumerate(dims):
-            p = preds[bi]
-            obj = p[:, 4]
-            keep = obj > thresh
-            dets = p[keep]
-            if len(dets) == 0:
-                results.append(np.zeros((0, 6)))
-                continue
-            cls_score = dets[:, 5:].max(axis=1) * dets[:, 4]
-            cls_id = dets[:, 5:].argmax(axis=1)
-            boxes = np.stack([
-                (dets[:, 0] - dets[:, 2] / 2) * w0 / reso,
-                (dets[:, 1] - dets[:, 3] / 2) * h0 / reso,
-                (dets[:, 0] + dets[:, 2] / 2) * w0 / reso,
-                (dets[:, 1] + dets[:, 3] / 2) * h0 / reso], axis=1)
-            order = np.argsort(-cls_score)
-            boxes, cls_score, cls_id = boxes[order], cls_score[order], cls_id[order]
-            keep_idx = _greedy_nms(boxes, cls_score, cls_id, nms_thresh)
-            results.append(np.concatenate(
-                [boxes[keep_idx], cls_score[keep_idx, None],
-                 cls_id[keep_idx, None].astype(np.float64)], axis=1))
+        results.extend(
+            _postprocess_dets(preds, dims, reso, thresh, nms_thresh))
     return results
+
+
+def _postprocess_dets(preds, dims, reso, thresh, nms_thresh):
+    """Decoded predictions [B,rows,5+nC] -> per-image (x1,y1,x2,y2,score,
+    cls) arrays in original-image pixels (confidence gate + host NMS)."""
+    out = []
+    for bi, (h0, w0) in enumerate(dims):
+        p = preds[bi]
+        obj = p[:, 4]
+        keep = obj > thresh
+        dets = p[keep]
+        if len(dets) == 0:
+            out.append(np.zeros((0, 6)))
+            continue
+        cls_score = dets[:, 5:].max(axis=1) * dets[:, 4]
+        cls_id = dets[:, 5:].argmax(axis=1)
+        boxes = np.stack([
+            (dets[:, 0] - dets[:, 2] / 2) * w0 / reso,
+            (dets[:, 1] - dets[:, 3] / 2) * h0 / reso,
+            (dets[:, 0] + dets[:, 2] / 2) * w0 / reso,
+            (dets[:, 1] + dets[:, 3] / 2) * h0 / reso], axis=1)
+        order = np.argsort(-cls_score)
+        boxes, cls_score, cls_id = boxes[order], cls_score[order], cls_id[order]
+        keep_idx = _greedy_nms(boxes, cls_score, cls_id, nms_thresh)
+        out.append(np.concatenate(
+            [boxes[keep_idx], cls_score[keep_idx, None],
+             cls_id[keep_idx, None].astype(np.float64)], axis=1))
+    return out
 
 
 def _greedy_nms(boxes, scores, cls_id, thresh):
@@ -225,6 +235,85 @@ def cmd_recall(data, cfg, weights, thresh=0.001, iou_thresh=0.5):
     return correct / max(total, 1)
 
 
+def cmd_demo(data, cfg, weights, video=None, thresh=0.24, nms_thresh=0.45,
+             out_filename=None, batch=8, webcam="0", max_frames=None):
+    """`detector demo` equivalent (`detector.c:1287-1297` -> demo.c): run
+    the detector continuously over a video file (or webcam when no file is
+    given), print per-frame detections, and optionally write an overlay
+    video (darknet's `-out_filename`).  max_frames bounds the webcam loop
+    (darknet runs until keypress; a CLI flag is the non-interactive
+    analog)."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    from betapose_tpu.models import yolov3 as yolo_mod
+    from betapose_tpu.data.video import VideoLoader, WebcamLoader, VideoWriter
+
+    opts = read_data_cfg(data)
+    names = ([ln.strip() for ln in open(opts["names"])]
+             if "names" in opts and os.path.exists(opts.get("names", ""))
+             else [])
+    spec, params, reso = _load_model(cfg, weights)
+    folded = yolo_mod.fold_bn(spec, params)
+
+    @jax.jit
+    def infer(x):
+        return yolo_mod.forward(spec, folded, x.astype(jnp.bfloat16), reso)
+
+    def detect_batch(frames_rgb):
+        x = jnp.asarray(np.stack(
+            [cv2.resize(f, (reso, reso)) for f in frames_rgb]
+        ).astype(np.float32) / 255.0)
+        preds = np.asarray(infer(x))
+        dims = [f.shape[:2] for f in frames_rgb]
+        return _postprocess_dets(preds, dims, reso, thresh, nms_thresh)
+
+    writer = None
+    n_frames = 0
+    n_dets = 0
+
+    def emit(frame_rgb, dets):
+        nonlocal n_frames, n_dets
+        n_frames += 1
+        n_dets += len(dets)
+        for d in dets:
+            cname = (names[int(d[5])] if int(d[5]) < len(names)
+                     else str(int(d[5])))
+            print(f"frame {n_frames}: {cname} {d[4]:.3f} "
+                  f"[{d[0]:.0f},{d[1]:.0f},{d[2]:.0f},{d[3]:.0f}]")
+        if writer is not None:
+            img = frame_rgb.copy()
+            for d in dets:
+                cv2.rectangle(img, (int(d[0]), int(d[1])),
+                              (int(d[2]), int(d[3])), (60, 255, 120), 2)
+            writer.write_rgb(img)
+
+    if video:
+        loader = VideoLoader(video, batch_size=batch)
+        if out_filename:
+            _, fps, size = loader.videoinfo()
+            writer = VideoWriter(out_filename, fps or 25, size)
+        for frames in loader:
+            for f, dets in zip(frames, detect_batch(list(frames))):
+                emit(f, dets)
+                if max_frames and n_frames >= max_frames:
+                    break
+            if max_frames and n_frames >= max_frames:
+                break
+    else:
+        cam = WebcamLoader(webcam)
+        try:
+            while max_frames is None or n_frames < max_frames:
+                frame = cam.read()
+                emit(frame, detect_batch([frame])[0])
+        finally:
+            cam.stop()
+    if writer is not None:
+        writer.release()
+    print(f"demo: {n_frames} frames, {n_dets} detections")
+    return n_frames
+
+
 def cmd_test(data, cfg, weights, image, thresh=0.24):
     """test_detector equivalent (`detector.c:1100`): print detections for
     one image."""
@@ -310,6 +399,14 @@ def main(argv=None):
     if verb == "test":
         return cmd_test(pos[0], pos[1], pos[2], pos[3],
                         thresh=float(flags.get("thresh", 0.24)))
+    if verb == "demo":
+        return cmd_demo(pos[0], pos[1], pos[2],
+                        video=pos[3] if len(pos) > 3 else None,
+                        thresh=float(flags.get("thresh", 0.24)),
+                        out_filename=flags.get("out_filename"),
+                        webcam=flags.get("c", "0"),
+                        max_frames=int(flags["max_frames"])
+                        if "max_frames" in flags else None)
     print(f"unknown verb {verb}")
     return 1
 

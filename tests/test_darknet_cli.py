@@ -177,3 +177,27 @@ class TestDataPrep:
         lab2 = [p for p in lst if "/02/" in p or os.sep + "02" + os.sep in p]
         lab = open(os.path.splitext(lab2[0])[0] + ".txt").read().split()
         assert lab[0] == "1"
+
+
+class TestDemoVerb:
+    def test_video_demo(self, tiny_dataset, tmp_path):
+        """`detector demo` over a tiny synthetic video: runs the detection
+        loop, bounds at max_frames, writes the overlay video
+        (detector.c:1287-1297 demo dispatch)."""
+        video = str(tmp_path / "in.avi")
+        wr = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"XVID"), 10,
+                             (64, 64))
+        rng = np.random.default_rng(1)
+        for _ in range(6):
+            frame = rng.integers(0, 60, (64, 64, 3), dtype=np.uint8)
+            frame[20:40, 16:36] = 220
+            wr.write(frame)
+        wr.release()
+
+        out_video = str(tmp_path / "render.avi")
+        n = darknet_cli.cmd_demo(
+            tiny_dataset["data"], tiny_dataset["cfg"], None,
+            video=video, thresh=0.3, out_filename=out_video, batch=3,
+            max_frames=5)
+        assert n == 5
+        assert os.path.exists(out_video) and os.path.getsize(out_video) > 0
