@@ -3,13 +3,18 @@
 PnP) on LineMod-shaped 480x640 frames, single chip.
 
 Measurements (all printed in ONE JSON line):
-- value / e2e_fps: the HONEST feed path — PNG files on disk, host decode
-  via PrefetchLoader threads, H2D transfer, device compute, D2H of pose
-  results (what the reference's 4-process pipeline exists to optimize,
-  `dataloader.py:90-763`).
+- value: the headline; `headline` names which measurement it carries
+  (steady_state_fps when the remote tunnel caps the feed, e2e_fps on a
+  real PCIe host).
 - steady_state_fps: device compute with a device-resident input batch —
   chip throughput isolated from the feed path.
-- host_decode_fps / h2d_mbps: feed-path component diagnostics.
+- candidates_fps: same, det_capacity=4 occlusion-shaped workload (device
+  top-N NMS -> per-candidate decode -> on-device pose-NMS -> batched PnP).
+- e2e_fps: PNG files on disk, host decode, H2D, device compute, D2H.
+- host feed sweep: threaded decode / process-pool decode / pre-decoded
+  memmap cache; host_feed_fps + host_feed_mode carry the best.
+- mfu: model FLOPs utilization estimate from XLA cost analysis at the
+  measured steady-state rate (null if the backend won't report flops).
 
 Environment caveat measured here: through the axon remote-TPU tunnel the
 host->device commit path sustains only ~36 MB/s (0.9 MB/frame => ~40 fps
@@ -48,6 +53,43 @@ def _make_png_pool(pool_dir, n_frames, rng):
     return paths
 
 
+def _steady_fps(jax, pipe, frames_dev, batch, iters, warmup):
+    for _ in range(warmup):
+        out = pipe(frames_dev)
+    jax.device_get(out["cam_t"])
+    # (device_get of a small output forces execution even through the lazy
+    # tunnel, where block_until_ready alone can return early)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = pipe(frames_dev)
+    jax.device_get(out["cam_t"])
+    return batch * iters / (time.perf_counter() - t0)
+
+
+def _mfu_estimate(jax, pipe, frames_dev, steady_fps, batch):
+    """flops/frame from XLA cost analysis x measured rate / bf16 peak."""
+    try:
+        lowered = pipe._step.lower(pipe.yolo_params, pipe.kpd_params,
+                                   frames_dev, pipe.kp3d, pipe.cam_K)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, list):  # older jax returns [dict]
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops <= 0:
+            return None, None
+        flops_per_frame = flops / batch
+        peak = {"tpu v5 lite": 394e12, "tpu v5e": 394e12,
+                "tpu v4": 275e12, "tpu v6 lite": 918e12,
+                "tpu v6e": 918e12}
+        kind = jax.devices()[0].device_kind.lower()
+        peak_flops = next((v for k, v in peak.items() if k in kind), None)
+        if peak_flops is None:
+            return flops_per_frame, None
+        return flops_per_frame, flops_per_frame * steady_fps / peak_flops
+    except Exception:
+        return None, None
+
+
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "64"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
@@ -61,7 +103,7 @@ def main():
     from betapose_tpu.models import yolov3 as yolo_mod
     from betapose_tpu.models import kpd as kpd_mod
     from betapose_tpu.models.darknet_cfg import make_yolov3_cfg
-    from betapose_tpu.data.loader import PrefetchLoader
+    from betapose_tpu.data.loader import PrefetchLoader, FrameCache
     from betapose_tpu.eval.pipeline import PosePipeline, PipelineConfig
 
     spec = yolo_mod.build_spec(make_yolov3_cfg(num_classes=1))
@@ -80,19 +122,18 @@ def main():
     frames = rng.integers(0, 255, (batch, 480, 640, 3), dtype=np.uint8)
     frames_dev = jax.device_put(jnp.asarray(frames))
 
-    # ---- compile + warmup ----
-    for _ in range(warmup):
-        out = pipe(frames_dev)
-    jax.device_get(out["cam_t"])
-
     # ---- steady state: device-resident batch, compute only ----
-    # (device_get of a small output forces execution even through the lazy
-    # tunnel, where block_until_ready alone can return early)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = pipe(frames_dev)
-    jax.device_get(out["cam_t"])
-    steady_fps = batch * iters / (time.perf_counter() - t0)
+    steady_fps = _steady_fps(jax, pipe, frames_dev, batch, iters, warmup)
+    flops_per_frame, mfu = _mfu_estimate(jax, pipe, frames_dev, steady_fps,
+                                         batch)
+
+    # ---- occlusion-shaped multi-candidate workload (VERDICT r2 #1a):
+    # device top-4 NMS -> per-candidate crops/heatmaps/decode -> fused
+    # on-device pose-NMS -> batched PnP, one graph ----
+    pipe4 = PosePipeline(spec, yolo_params, kpd_params, kp3d, cam_K,
+                         PipelineConfig(det_capacity=4))
+    cand_fps = _steady_fps(jax, pipe4, frames_dev, batch,
+                           max(3, iters // 2), warmup)
 
     # ---- feed-path diagnostics ----
     # h2d: fresh host buffers committed through a trivial executable
@@ -107,12 +148,37 @@ def main():
     with tempfile.TemporaryDirectory(prefix="bench_pngs_") as pool_dir:
         paths = _make_png_pool(pool_dir, e2e_frames, rng)
 
-        # host decode throughput (threads; decode releases the GIL)
-        loader = PrefetchLoader(paths, batch)
+        # host decode throughput: threads (decode releases the GIL) ...
         t0 = time.perf_counter()
-        for fr in loader:
+        for fr in PrefetchLoader(paths, batch):
             pass
-        host_decode_fps = len(paths) / (time.perf_counter() - t0)
+        decode_threads_fps = len(paths) / (time.perf_counter() - t0)
+
+        # ... process pool (scales with physical cores; on a 1-core bench
+        # host it can only tie threads — reported, not assumed) ...
+        nproc = os.cpu_count() or 1
+        pworkers = max(2, min(16, nproc))
+        t0 = time.perf_counter()
+        for fr in PrefetchLoader(paths, batch, workers=pworkers,
+                                 use_processes=True):
+            pass
+        decode_procs_fps = len(paths) / (time.perf_counter() - t0)
+
+        # ... and the pre-decoded memmap cache (decode once, then serve at
+        # memory bandwidth — the feed mode that outruns any chip)
+        cache = FrameCache(paths, os.path.join(pool_dir, "frames_cache.npy"))
+        for b in cache.batches(batch):
+            pass  # touch once so the page cache is warm, like a real epoch
+        t0 = time.perf_counter()
+        for b in cache.batches(batch):
+            pass
+        cached_feed_fps = len(paths) / (time.perf_counter() - t0)
+
+        feed_modes = {"decode_threads": decode_threads_fps,
+                      "decode_procs": decode_procs_fps,
+                      "cache": cached_feed_fps}
+        host_feed_mode = max(feed_modes, key=feed_modes.get)
+        host_feed_fps = feed_modes[host_feed_mode]
 
         # one warm pass so tail-batch shapes (if any) are compiled
         for fr in PrefetchLoader(paths[:batch], batch):
@@ -125,6 +191,11 @@ def main():
         pipe.run_batches(PrefetchLoader(paths, batch))
         e2e_fps = len(paths) / (time.perf_counter() - t0)
 
+        # e2e with the pre-decoded cache feed (isolates decode from H2D)
+        t0 = time.perf_counter()
+        pipe.run_batches(cache.batches(batch))
+        cached_e2e_fps = len(paths) / (time.perf_counter() - t0)
+
     # Headline selection: e2e (disk -> decode -> H2D -> compute -> D2H) is
     # the honest number when the host actually owns the chip.  Through the
     # axon remote-compile tunnel, H2D rides an HTTP link at ~36 MB/s (~40
@@ -135,20 +206,36 @@ def main():
     tunnel_capped = h2d_mbps < 200.0
     value = steady_fps if tunnel_capped else e2e_fps
     print(json.dumps({
-        "metric": "e2e_linemod_pose_fps_per_chip",
+        # metric deliberately does NOT claim "e2e": `headline` names which
+        # measurement `value` carries.
+        "metric": "linemod_pose_fps_per_chip",
         "value": round(value, 2),
         "unit": "frames/sec",
+        "headline": "steady_state_fps" if tunnel_capped else "e2e_fps",
         "vs_baseline": round(value / 500.0, 4),
         "e2e_fps": round(e2e_fps, 2),
+        "cached_e2e_fps": round(cached_e2e_fps, 2),
         "steady_state_fps": round(steady_fps, 2),
-        "host_decode_fps": round(host_decode_fps, 2),
+        "candidates_fps": round(cand_fps, 2),
+        "host_feed_fps": round(host_feed_fps, 2),
+        "host_feed_mode": host_feed_mode,
+        "host_decode_fps": round(decode_threads_fps, 2),
+        "host_decode_procs_fps": round(decode_procs_fps, 2),
+        "cached_feed_fps": round(cached_feed_fps, 2),
+        "host_cpus": os.cpu_count(),
         "h2d_mbps": round(h2d_mbps, 1),
         "tunnel_capped_feed": tunnel_capped,
+        "flops_per_frame": (round(flops_per_frame / 1e9, 2)
+                            if flops_per_frame else None),
+        "flops_unit": "GFLOP",
+        "mfu": round(mfu, 4) if mfu else None,
         "note": ("e2e_fps includes disk PNG decode + H2D + D2H; "
-                 "steady_state_fps is device compute with a resident batch. "
-                 "value = steady_state when the measured H2D (<200 MB/s) "
-                 "shows the remote-tunnel link, not a local PCIe feed, is "
-                 "the binding constraint; value = e2e_fps otherwise."),
+                 "steady_state_fps is device compute with a resident batch; "
+                 "candidates_fps is the det_capacity=4 occlusion-shaped "
+                 "workload with on-device pose-NMS. value = steady_state "
+                 "when the measured H2D (<200 MB/s) shows the remote-tunnel "
+                 "link, not a local PCIe feed, is the binding constraint; "
+                 "value = e2e_fps otherwise."),
     }))
 
 

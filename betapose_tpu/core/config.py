@@ -40,6 +40,8 @@ class DetectionConfig:
     preproc: str = "stretch"          # 'stretch' | 'letterbox'
     det_capacity: int = 1             # boxes/frame; >1 enables the
     #                                 # multi-candidate pose-NMS path
+    host_pose_nms: bool = False       # multi-candidate clustering on host
+    #                                 # (reference-style loop) vs on device
     pnp_robust: int = 0               # trimmed-IRLS robust-PnP rounds
     #                                 # (0 = reference least-squares)
 
@@ -111,6 +113,7 @@ class Config:
         d.nms_thresh = args.nms_thesh
         d.det_batch = args.detbatch
         d.det_capacity = getattr(args, "det_capacity", 1)
+        d.host_pose_nms = getattr(args, "host_pose_nms", False)
         d.pnp_robust = getattr(args, "pnp_robust", 0)
         d.pose_batch = args.posebatch
         t = c.train
@@ -143,6 +146,16 @@ class Config:
         return c
 
 
+def _str2bool(v: str) -> bool:
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("true", "1", "yes", "y"):
+        return True
+    if v.lower() in ("false", "0", "no", "n"):
+        return False
+    raise argparse.ArgumentTypeError(f"boolean expected, got {v!r}")
+
+
 def make_parser(description: str = "Betapose-TPU") -> argparse.ArgumentParser:
     """The reference CLI surface (`3_6Dpose_estimator/opt.py`), flag-for-flag."""
     p = argparse.ArgumentParser(description=description)
@@ -166,7 +179,11 @@ def make_parser(description: str = "Betapose-TPU") -> argparse.ArgumentParser:
     p.add_argument("--nFeats", default=256, type=int)
     p.add_argument("--nClasses", default=50, type=int)
     p.add_argument("--nStack", default=4, type=int)
-    p.add_argument("--fast_inference", default=True, type=bool)
+    # reference opt.py:45 uses type=bool, where '--fast_inference False'
+    # parses as bool('False') == True — the flag could literally never be
+    # turned off (masking that InferenNet didn't exist).  Here it parses
+    # properly and False routes the fused pipeline through flip-TTA.
+    p.add_argument("--fast_inference", default=True, type=_str2bool)
     p.add_argument("--use_pyranet", default=True, type=bool)
     # Hyperparams
     p.add_argument("--LR", default=2.5e-4, type=float)
@@ -211,6 +228,10 @@ def make_parser(description: str = "Betapose-TPU") -> argparse.ArgumentParser:
                    help="max detections kept per frame; >1 routes crowded "
                         "scenes through the full parametric pose-NMS "
                         "(TPU-stack extension; 1 = reference best-box)")
+    p.add_argument("--host_pose_nms", action="store_true",
+                   help="with --det_capacity>1: run the pose-NMS cluster "
+                        "loop host-side (reference DataWriter-style) "
+                        "instead of the fused on-device fixed-trip loop")
     p.add_argument("--pnp_robust", type=int, default=0,
                    help="trimmed-IRLS robust-PnP rounds (TPU-stack "
                         "extension; 0 = reference least-squares PnP)")

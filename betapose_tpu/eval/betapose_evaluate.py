@@ -75,6 +75,17 @@ def load_sixd_models(base_path, obj_id, total_kp=TOTAL_KP_NUMBER):
 
 def build_pipeline(cfg: Config, args, kp_vertices, cam_K,
                    left_keypoints: int | None = None):
+    # The eval pipeline serves FastPose backbones only; reject anything
+    # else instead of silently substituting (the trainer CLI errors the
+    # same way, train_kpd_main.py — reference betapose_evaluate.py ignores
+    # netType entirely, which hid that its hgPRM path could not run).
+    arch = cfg.model.net_type
+    if arch not in ("resnet101", "resnet50"):
+        raise SystemExit(
+            f"unsupported --netType {arch!r} for evaluation: the fused "
+            "pose pipeline serves FastPose (resnet101, resnet50); hgPRM "
+            "has no eval wiring in the reference either")
+
     yolo_cfg_text = (open(args.yolo_cfg).read() if args.yolo_cfg
                      else make_yolov3_cfg(num_classes=1,
                                           width=cfg.model.inp_dim,
@@ -85,6 +96,11 @@ def build_pipeline(cfg: Config, args, kp_vertices, cam_K,
     if os.path.exists(yolo_weights):
         yolo_params, _ = yolo_mod.load_darknet_weights(spec, yolo_weights)
         print("Loading YOLO weights from", yolo_weights)
+    elif args.yolo_weights:
+        # an EXPLICIT path that doesn't resolve is an error — a typo here
+        # must not yield a plausible-looking random-weights run
+        raise FileNotFoundError(
+            f"--yolo_weights {args.yolo_weights} does not exist")
     else:
         import jax
         print(f"WARNING: YOLO weights {yolo_weights} not found; "
@@ -95,14 +111,17 @@ def build_pipeline(cfg: Config, args, kp_vertices, cam_K,
     kpd_weights = args.kpd_weights or ckpt.default_kpd_path(cfg.obj_id)
     if os.path.exists(kpd_weights):
         kpd_params = ckpt.load_kpd_checkpoint(
-            kpd_weights, cfg.model.n_classes)
+            kpd_weights, cfg.model.n_classes, arch)
         print("Loading KPD weights from", kpd_weights)
+    elif args.kpd_weights:
+        raise FileNotFoundError(
+            f"--kpd_weights {args.kpd_weights} does not exist")
     else:
         import jax
         print(f"WARNING: KPD weights {kpd_weights} not found; "
               "using random init (smoke mode)")
         kpd_params = kpd_mod.init_params(
-            jax.random.PRNGKey(1), cfg.model.n_classes)
+            jax.random.PRNGKey(1), cfg.model.n_classes, arch)
 
     pcfg = PipelineConfig(
         reso=cfg.model.inp_dim,
@@ -113,8 +132,12 @@ def build_pipeline(cfg: Config, args, kp_vertices, cam_K,
         left_keypoints=TOTAL_KP_NUMBER,  # betapose_evaluate.py:138 passes 50
         preproc=args.preproc,
         det_capacity=cfg.detection.det_capacity,
+        host_pose_nms=cfg.detection.host_pose_nms,
         nms_thresh=cfg.detection.nms_thresh,
-        pnp_robust_rounds=cfg.detection.pnp_robust)
+        pnp_robust_rounds=cfg.detection.pnp_robust,
+        # --fast_inference False = InferenNet flip-TTA (reference
+        # betapose_evaluate.py:125-130; here it actually runs)
+        flip_tta=not cfg.model.fast_inference)
     return PosePipeline(spec, yolo_params, kpd_params, kp_vertices, cam_K,
                         pcfg, left_keypoints=left_keypoints)
 

@@ -53,6 +53,14 @@ class PipelineConfig:
     pallas_decode: bool | None = None  # None = auto (TPU backend only)
     det_capacity: int = 1           # boxes/frame; >1 = multi-candidate mode
     nms_thresh: float = 0.4         # greedy-NMS IoU (multi-candidate only)
+    host_pose_nms: bool = False     # multi-candidate only: True = reference-
+    #                               # style host clustering loop; False =
+    #                               # fused fixed-trip device pose-NMS
+    flip_tta: bool = False          # --fast_inference False: average KPD
+    #                               # heatmaps with the horizontal mirror
+    #                               # (reference InferenNet semantics —
+    #                               # betapose_evaluate.py:125-130; its own
+    #                               # class never shipped)
 
 
 def make_det_stage(yolo_spec, cfg: PipelineConfig):
@@ -130,6 +138,14 @@ def make_pose_stage(cfg: PipelineConfig):
         # (KPD's 7x7/2 stem measured no faster via s2d — XLA already
         # handles it; the transform stays available in models/kpd.py)
         hm_nhwc = kpd_mod.forward(kpd_params, crops.astype(cdtype))
+        if cfg.flip_tta:
+            # InferenNet flip-TTA inside the same fused graph: mirrored
+            # forward, un-mirror, average.  LineMod keypoints carry no
+            # left/right channel semantics (flipRef is empty,
+            # `dataloader.py:790`), so no channel shuffle.
+            hm_f = kpd_mod.forward(
+                kpd_params, crops[:, :, ::-1, :].astype(cdtype))
+            hm_nhwc = (hm_nhwc + hm_f[:, :, ::-1, :]) / 2.0
         return hm_nhwc.astype(jnp.float32).transpose(0, 3, 1, 2)  # [B,K,H,W]
 
     return pose_stage
@@ -201,15 +217,63 @@ def make_post_stage(cfg: PipelineConfig):
     return post_stage
 
 
+def make_multi_post_stage(cfg: PipelineConfig):
+    """Stage 3 for det_capacity > 1 fused mode: decode + DEVICE pose-NMS +
+    keypoint pruning + PnP in one graph.  The reference's dynamic
+    clustering loop (`pPose_nms.py:58-83`) is bounded by the candidate
+    capacity, so it runs as a fixed-trip `lax.fori_loop`
+    (`ops.pose_nms.pose_nms_device`) instead of per-frame host Python —
+    same output schema as the capacity-1 `make_post_stage`."""
+
+    decode_stage = make_candidates_decode_stage(cfg)
+
+    def post_stage(hm, det, kp3d, cam_K):
+        cand = decode_stage(hm, det)
+        b = cand["boxes"].shape[0]
+
+        kp, sc, proposal, pick_box, pick_obj, nms_valid = jax.vmap(
+            lambda bx, ob, k2, ks, v: pnms.pose_nms_device(bx, ob, k2, ks, v)
+        )(cand["boxes"], cand["obj_score"], cand["kp2d"],
+          cand["kp_scores"], cand["det_valid"])
+
+        if cfg.left_keypoints < cfg.n_kp:
+            top_sc, top_idx = jax.lax.top_k(sc, cfg.left_keypoints)
+            kp2d_sel = jnp.take_along_axis(kp, top_idx[..., None], axis=1)
+            kp3d_sel = kp3d[top_idx]
+        else:
+            kp2d_sel = kp
+            kp3d_sel = jnp.broadcast_to(kp3d[None], (b,) + kp3d.shape)
+
+        R, t = jax.vmap(lambda p3, p2: _pnp_one(cfg, p3, p2, cam_K))(
+            kp3d_sel, kp2d_sel)
+        det_any = cand["det_valid"].any(axis=1)
+        return {
+            "boxes": pick_box,                    # winning candidate's box
+            "obj_score": pick_obj,
+            "det_valid": det_any,
+            "keypoints": kp,
+            "kp_scores": sc,
+            "proposal_score": proposal,
+            "pose_valid": det_any & nms_valid,
+            "cam_R": R,
+            "cam_t": t,
+        }
+
+    return post_stage
+
+
 def make_pose_step(yolo_spec, cfg: PipelineConfig):
     """Build the fused step fn (det -> pose -> post in ONE XLA graph):
 
     step(yolo_params, kpd_params, frames_u8 [B,H0,W0,3] RGB, kp3d [K,3],
-         cam_K [3,3]) -> dict of per-frame outputs.
+         cam_K [3,3]) -> dict of per-frame outputs.  With det_capacity > 1
+    the post stage runs the device pose-NMS over the candidate set; the
+    graph stays fused either way.
     """
     det_stage = make_det_stage(yolo_spec, cfg)
     pose_stage = make_pose_stage(cfg)
-    post_stage = make_post_stage(cfg)
+    post_stage = (make_multi_post_stage(cfg) if cfg.det_capacity > 1
+                  else make_post_stage(cfg))
 
     def step(yolo_params, kpd_params, frames, kp3d, cam_K):
         det = det_stage(yolo_params, frames)
@@ -279,9 +343,10 @@ class PosePipeline:
         self.kpd_params = kpd_params
         self.kp3d = jnp.asarray(kp3d, jnp.float32)
         self.cam_K = jnp.asarray(cam_K, jnp.float32)
-        if self.cfg.det_capacity > 1:
+        if self.cfg.det_capacity > 1 and self.cfg.host_pose_nms:
             self._step = jax.jit(make_candidates_step(self.spec, self.cfg))
         else:
+            # capacity-1 AND fused multi-candidate both run one full graph
             self._step = jax.jit(make_pose_step(self.spec, self.cfg))
         self._stages = None  # lazily jitted per-stage fns for --profile
         self._pnp_fn = None  # lazily jitted batched PnP (multi-candidate)
@@ -289,17 +354,21 @@ class PosePipeline:
     @staticmethod
     def _is_oom(e: Exception) -> bool:
         """True only for a real XLA out-of-memory: the XLA runtime error
-        TYPE carrying the RESOURCE_EXHAUSTED status anywhere in the message
-        (runtimes/tunnels may prefix it, e.g. 'INTERNAL: ...
-        RESOURCE_EXHAUSTED: out of memory').  The type check is what keeps
-        a transient non-XLA tunnel HTTP error from triggering the
-        batch-halving fallback."""
+        TYPE whose message carries RESOURCE_EXHAUSTED in status-code
+        position ('RESOURCE_EXHAUSTED: ...' at the start or after a
+        status-chain separator).  Both checks matter: the type check keeps
+        non-XLA tunnel HTTP errors out, and the positional match keeps an
+        XlaRuntimeError that merely *mentions* the token (e.g. a forwarded
+        remote compile-server log line) from triggering the batch-halving
+        fallback."""
+        import re
         try:
             from jaxlib.xla_client import XlaRuntimeError
         except ImportError:  # pragma: no cover - jaxlib layout drift
             from jax.errors import JaxRuntimeError as XlaRuntimeError
         return (isinstance(e, XlaRuntimeError)
-                and "RESOURCE_EXHAUSTED" in str(e))
+                and re.search(r"(^|:\s)RESOURCE_EXHAUSTED:", str(e))
+                is not None)
 
     def __call__(self, frames_u8: np.ndarray):
         """frames_u8: [B, H, W, 3] RGB uint8. Returns dict of host arrays.
@@ -311,13 +380,19 @@ class PosePipeline:
         The explicit device_put matters: letting jit transfer a host numpy
         arg implicitly is ~70x slower through the remote-compile TPU tunnel
         (measured 3.1 s vs 45 ms for a 59 MB batch)."""
-        out = self._run_device(frames_u8)
-        if self.cfg.det_capacity > 1:
+        return self._post_device(self._run_device(frames_u8))
+
+    def _post_device(self, out):
+        """Host-side completion of a dispatched device step (identity unless
+        the reference-style host clustering mode is on)."""
+        if self.cfg.det_capacity > 1 and self.cfg.host_pose_nms:
             return self._host_pose_nms(out)
         return out
 
     def _run_device(self, frames_u8):
-        args = () if self.cfg.det_capacity > 1 else (self.kp3d, self.cam_K)
+        args = ((self.kp3d, self.cam_K)
+                if not (self.cfg.det_capacity > 1 and self.cfg.host_pose_nms)
+                else ())
         try:
             return self._step(self.yolo_params, self.kpd_params,
                               jax.device_put(jnp.asarray(frames_u8)), *args)
@@ -396,13 +471,18 @@ class PosePipeline:
         blocking between them to fill `prof`'s dt/pt/pn buckets (the
         reference's per-stage readout, `betapose_evaluate.py:132-136`).
         Slightly slower than the fused step (three dispatches + syncs)."""
+        host_mode = self.cfg.det_capacity > 1 and self.cfg.host_pose_nms
         if self._stages is None:
-            multi = self.cfg.det_capacity > 1
+            if host_mode:
+                post = jax.jit(make_candidates_decode_stage(self.cfg))
+            elif self.cfg.det_capacity > 1:
+                post = jax.jit(make_multi_post_stage(self.cfg))
+            else:
+                post = jax.jit(make_post_stage(self.cfg))
             self._stages = (
                 jax.jit(make_det_stage(self.spec, self.cfg)),
                 jax.jit(make_pose_stage(self.cfg)),
-                jax.jit(make_candidates_decode_stage(self.cfg)) if multi
-                else jax.jit(make_post_stage(self.cfg)),
+                post,
             )
         det_fn, pose_fn, post_fn = self._stages
         frames = jax.device_put(jnp.asarray(frames_u8))
@@ -411,7 +491,7 @@ class PosePipeline:
         with prof.bucket("pt"):
             hm = jax.block_until_ready(pose_fn(self.kpd_params, det["crops"]))
         with prof.bucket("pn"):
-            if self.cfg.det_capacity > 1:
+            if host_mode:
                 # decode on device, then the host pose-NMS + batched PnP —
                 # all of it is the reference's 'post processing' bucket
                 cand = jax.block_until_ready(post_fn(hm, det))
@@ -424,16 +504,19 @@ class PosePipeline:
 
     def run_batches(self, frame_iter, progress=None):
         """Run over an iterator of uint8 frame batches with software
-        pipelining: dispatch batch i+1 before blocking on batch i."""
+        pipelining: dispatch batch i+1's DEVICE work before finalizing
+        batch i.  In host-clustering mode the host pose-NMS of batch i
+        therefore overlaps the device compute of batch i+1 instead of
+        serializing behind it."""
         results = []
         pending = None
         for batch in frame_iter:
-            out = self(batch)
+            out = self._run_device(batch)          # async dispatch
             if pending is not None:
-                results.append(jax.device_get(pending))
+                results.append(jax.device_get(self._post_device(pending)))
             pending = out
             if progress is not None:
                 progress()
         if pending is not None:
-            results.append(jax.device_get(pending))
+            results.append(jax.device_get(self._post_device(pending)))
         return results

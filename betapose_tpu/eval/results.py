@@ -36,8 +36,8 @@ _CMU_INDEX_ARR = [0, 51, 18, 24, 30, 15, 21, 27, 36, 42, 48, 33, 39, 45,
                   6, 3, 12, 9]
 
 
-def _cmu_entry(result, version_key, body_key, version):
-    """Shared CMU/OpenPose regrouping (pPose_nms.py:319-349)."""
+def _cmu_entry(result):
+    """Shared CMU/OpenPose joint regrouping (pPose_nms.py:319-349)."""
     kp = list(result["keypoints"])
     kp.append((kp[15] + kp[18]) / 2)
     kp.append((kp[16] + kp[19]) / 2)
@@ -79,7 +79,7 @@ def write_json(all_results, outputpath, for_eval=False, form=None):
                     else:
                         json_results_cmu[key] = {
                             "version": "Betapose v0.2", "people": []}
-                joints = _cmu_entry(result, None, None, None)
+                joints = _cmu_entry(result)
                 if form == "cmu":
                     json_results_cmu[key]["bodies"].append({"joints": joints})
                 else:

@@ -287,19 +287,22 @@ def init_hourglass(kg, n, n_feats, n_modules, base_width, cardinality):
     use_pyra_up = n >= 2
     use_pyra_down = n >= 3
 
-    def mk(use_pyra):
+    def mk(use_pyra, use_conv=False):
         if use_pyra:
             return [init_prm_residual(kg, n_feats, n_feats,
                                       base_width=base_width,
-                                      cardinality=cardinality)
+                                      cardinality=cardinality,
+                                      use_conv=use_conv)
                     for _ in range(n_modules)]
-        return [init_plain_residual(kg, n_feats, n_feats)
+        return [init_plain_residual(kg, n_feats, n_feats, use_conv=use_conv)
                 for _ in range(n_modules)]
 
+    # low3 carries useConv=True (`hgPRM.py:36` _make_residual(..., True, ..))
+    # -> its residuals get a BN+conv skip even at equal channels
     p = {"n": Static(n),
          "up1": mk(use_pyra_up),
          "low1": mk(use_pyra_down),
-         "low3": mk(use_pyra_down)}
+         "low3": mk(use_pyra_down, use_conv=True)}
     if n > 1:
         p["low2"] = init_hourglass(kg, n - 1, n_feats, n_modules,
                                    base_width, cardinality)
@@ -406,6 +409,139 @@ def _forward_impl(params, x, all_heads: bool = False, bn=_bn_infer):
             out_ = _conv(out, st["out_"]["w"], st["out_"]["b"])
             inter = inter + lin_ + out_
     return outs if all_heads else outs[-1]
+
+
+# ---------------------------------------------------------------------------
+# torch state_dict conversion
+# ---------------------------------------------------------------------------
+
+def torch_state_dict_to_params(sd, n_classes: int = 50, n_feats: int = 256,
+                               n_stack: int = 4, n_residual: int = 1,
+                               base_width: int = 9, cardinality: int = 5):
+    """Convert a reference PyraNet / PyraNet_Inference torch state_dict
+    (`KPD/src/models/hgPRM.py:63-143`) into this module's param tree.
+
+    Key paths follow the reference's module nesting: `preact` =
+    Sequential(cnv1, r1, r4, r5); PRM residuals expose `.con.modules_list.
+    {0,1}` (convBlock / skipLayer, `layers/PRM.py:12-18`); plain residuals
+    are a bare Sequential(ConcatTable, CaddTable) (`layers/Residual.py:7`);
+    stack heads live in stack_lin / stack_out / stack_lin_ / stack_out_
+    ModuleLists.  Every parameter tensor must be consumed exactly once —
+    unused leftovers raise (catches silent wiring drift)."""
+    used = set()
+
+    def t(name):
+        v = sd[name]
+        used.add(name)
+        try:
+            v = v.detach().cpu().numpy()
+        except AttributeError:
+            v = np.asarray(v)
+        return jnp.asarray(v, jnp.float32)
+
+    def conv(prefix):
+        w = t(prefix + ".weight").transpose(2, 3, 1, 0)   # OIHW -> HWIO
+        b = (t(prefix + ".bias") if prefix + ".bias" in sd
+             else jnp.zeros((w.shape[-1],), jnp.float32))
+        return {"w": w, "b": b}
+
+    def bn(prefix):
+        used.add(prefix + ".num_batches_tracked")          # may be absent
+        return {"scale": t(prefix + ".weight"), "bias": t(prefix + ".bias"),
+                "mean": t(prefix + ".running_mean"),
+                "var": t(prefix + ".running_var")}
+
+    def prm(prefix, net_type="preact", stride=1):
+        """PRM Residual at `prefix` (a layers/PRM.py Residual module)."""
+        cb = prefix + ".con.modules_list.0"   # convBlock outer Sequential
+        b1 = cb + ".0.0.modules_list.0"       # bottleneck branch Sequential
+        b2 = cb + ".0.0.modules_list.1"       # pyramid branch Sequential
+        off = 0 if net_type == "no_preact" else 2
+        d = int(sd[f"{b2}.{off}.weight"].shape[0])
+        p = {"net_type": Static(net_type), "stride": Static(stride),
+             "D": Static(d), "C": Static(cardinality)}
+        if net_type != "no_preact":
+            p["pre1"] = bn(f"{b1}.0")
+            p["pre2"] = bn(f"{b2}.0")
+        p["b1_conv1"] = conv(f"{b1}.{off}")
+        p["b1_bn"] = bn(f"{b1}.{off + 1}")
+        p["b1_conv2"] = conv(f"{b1}.{off + 3}")
+        p["b2_conv1"] = conv(f"{b2}.{off}")
+        p["b2_bn1"] = bn(f"{b2}.{off + 1}")
+        pyr = f"{b2}.{off + 3}.0.modules_list"  # pyramid ConcatTable
+        p["pyra"] = [conv(f"{pyr}.{j}.1") for j in range(cardinality)]
+        p["b2_bn2"] = bn(f"{b2}.{off + 4}")
+        p["b2_conv2"] = conv(f"{b2}.{off + 6}")
+        p["m_bn"] = bn(cb + ".1")
+        p["m_conv"] = conv(cb + ".3")
+        sk = prefix + ".con.modules_list.1"   # skipLayer module (has .m)
+        if f"{sk}.m.2.weight" in sd:
+            p["skip_bn"] = bn(f"{sk}.m.0")
+            p["skip_conv"] = conv(f"{sk}.m.2")
+        return p
+
+    def plain(prefix, net_type="preact", stride=1):
+        """Plain residual at `prefix` (layers/Residual.py Sequential)."""
+        cb = prefix + ".0.modules_list.0"
+        off = 0 if net_type == "no_preact" else 2
+        p = {"net_type": Static(net_type), "stride": Static(stride),
+             "plain": Static(True)}
+        if net_type != "no_preact":
+            p["pre"] = bn(f"{cb}.0")
+        p["conv1"] = conv(f"{cb}.{off}")
+        p["bn1"] = bn(f"{cb}.{off + 1}")
+        p["conv2"] = conv(f"{cb}.{off + 3}")
+        p["bn2"] = bn(f"{cb}.{off + 4}")
+        p["conv3"] = conv(f"{cb}.{off + 6}")
+        sk = prefix + ".0.modules_list.1"     # bare Sequential or Identity
+        if f"{sk}.2.weight" in sd:
+            p["skip_bn"] = bn(f"{sk}.0")
+            p["skip_conv"] = conv(f"{sk}.2")
+        return p
+
+    def residuals(prefix, use_pyra):
+        fn = prm if use_pyra else plain
+        return [fn(f"{prefix}.{m}") for m in range(n_residual)]
+
+    def hg(prefix, n):
+        use_up, use_down = n >= 2, n >= 3
+        p = {"n": Static(n),
+             "up1": residuals(f"{prefix}.upperBranch", use_up),
+             "low1": residuals(f"{prefix}.lowerBranch.0.1", use_down),
+             "low3": residuals(f"{prefix}.lowerBranch.2", use_down)}
+        if n > 1:
+            p["low2"] = hg(f"{prefix}.lowerBranch.1", n - 1)
+        else:
+            p["low2_res"] = residuals(f"{prefix}.lowerBranch.1", use_down)
+        return p
+
+    params = {"n_stack": Static(n_stack)}
+    params["conv1"] = conv("preact.0.0")
+    params["bn1"] = bn("preact.0.1")
+    params["r1"] = prm("preact.1.0", net_type="no_preact")
+    params["r4"] = prm("preact.2")
+    params["r5"] = prm("preact.3")
+    params["stacks"] = []
+    for i in range(n_stack):
+        st = {
+            "hg": hg(f"stack_lin.{i}.0", 4),
+            "lin_bn1": bn(f"stack_lin.{i}.1"),
+            "lin_conv": conv(f"stack_lin.{i}.3"),
+            "lin_bn2": bn(f"stack_lin.{i}.4"),
+            "out_conv": conv(f"stack_out.{i}"),
+        }
+        if i < n_stack - 1:
+            st["lin_"] = conv(f"stack_lin_.{i}")
+            st["out_"] = conv(f"stack_out_.{i}")
+        params["stacks"].append(st)
+
+    leftovers = {k for k in sd if k not in used
+                 and not k.endswith("num_batches_tracked")}
+    if leftovers:
+        raise ValueError(
+            f"unconsumed reference state_dict entries ({len(leftovers)}): "
+            f"{sorted(leftovers)[:8]}...")
+    return params
 
 
 def calibrate_bn(params, x, momentum: float = 1.0):

@@ -193,7 +193,7 @@ def forward_with_s2d_stem(spec, params, x, reso, decode=True):
         elif l.kind == "upsample":
             y = yolo_mod._upsample_nearest(y, l.stride)
         elif l.kind == "maxpool":
-            y = yolo_mod._maxpool(y, l.size, l.stride)
+            y = yolo_mod._maxpool(y, l.size, l.stride, l.pad)
         elif l.kind == "yolo":
             raw_heads.append(y)
             if decode:

@@ -129,14 +129,19 @@ def build_spec(cfg) -> NetworkSpec:
             dims.append((None if cur_h is None else cur_h * stride,
                          None if cur_w is None else cur_w * stride))
         elif t == "maxpool":
-            size, stride = int(b["size"]), int(b["stride"])
-            layers.append(LayerSpec("maxpool", cin, size=size, stride=stride))
+            # darknet parser.c parse_maxpool: stride default 1, size default
+            # stride, padding default size-1; out = (w+pad-size)/stride + 1
+            # (maxpool_layer.c make_maxpool_layer), window offset -pad/2.
+            stride = int(b.get("stride", 1))
+            size = int(b.get("size", stride))
+            pad = int(b.get("padding", size - 1))
+            layers.append(LayerSpec(
+                "maxpool", cin, size=size, stride=stride, pad=pad))
             out_channels.append(cin)
-            if stride == 1:
-                dims.append((cur_h, cur_w))
-            else:
-                dims.append((_next_dim(cur_h, size, stride, 0),
-                             _next_dim(cur_w, size, stride, 0)))
+
+            def _pool_dim(d):
+                return None if d is None else (d + pad - size) // stride + 1
+            dims.append((_pool_dim(cur_h), _pool_dim(cur_w)))
         elif t == "avgpool":
             # darknet avgpool_layer.c: GLOBAL average pool to 1x1xC
             layers.append(LayerSpec("avgpool", cin))
@@ -535,13 +540,14 @@ def _upsample_nearest(x, stride):
     return x.reshape(b, h * stride, w * stride, c)
 
 
-def _maxpool(x, size, stride):
-    if stride == 1:
-        pad_total = size - 1
-        pad = pad_total // 2
-        padding = ((pad, pad_total - pad), (pad, pad_total - pad))
-    else:
-        padding = ((0, 0), (0, 0))
+def _maxpool(x, size, stride, pad):
+    """darknet maxpool (maxpool_layer.c:88-120): window origin at -pad/2
+    (C integer division), out-of-bounds reads are -FLT_MAX, so the total
+    `pad` splits pad//2 before and the remainder after with a -inf fill.
+    Output dims = (w + pad - size)//stride + 1, which reduce_window's floor
+    semantics reproduce exactly."""
+    pb = pad // 2
+    padding = ((pb, pad - pb), (pb, pad - pb))
     return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max, (1, size, size, 1),
         (1, stride, stride, 1),
@@ -656,7 +662,7 @@ def forward(spec: NetworkSpec, params, x, reso: int, decode: bool = True,
         elif l.kind == "upsample":
             x = _upsample_nearest(x, l.stride)
         elif l.kind == "maxpool":
-            x = _maxpool(x, l.size, l.stride)
+            x = _maxpool(x, l.size, l.stride, l.pad)
         elif l.kind == "avgpool":
             x = jnp.mean(x, axis=(1, 2), keepdims=True)
         elif l.kind == "connected":

@@ -150,6 +150,111 @@ def pose_nms(bboxes, bbox_scores, pose_preds, pose_scores, delta2=DELTA2):
     return final_result
 
 
+def pose_nms_device(bboxes, bbox_scores, preds, scores, valid,
+                    delta2=DELTA2):
+    """Fixed-capacity on-device pPose-NMS returning the best surviving
+    proposal (what the multi-candidate pipeline needs per frame).
+
+    Full transcription of the reference clustering loop
+    (`pPose_nms.py:24-122` pick-max / parametric-similarity delete /
+    score-weighted merge `p_merge_fast:204-241`) as a `lax.fori_loop` with
+    exactly `capacity` trips: each trip deletes at least the picked
+    candidate, so `capacity` trips exhaust the candidate set.  All
+    similarity/match/merge tensors are precomputed [N,N,K] elementwise ops
+    (N = det_capacity <= ~16), so nothing here leaves the accelerator —
+    unlike the reference's per-frame host loop through DataWriter.
+
+    One deliberate guard beyond the reference: the picked candidate is
+    always included in its own delete/merge set.  With K >= 5 keypoints the
+    reference's own PCK self-match (== K >= matchThreds) already guarantees
+    this; for degenerate K < 5 the reference would loop forever, we
+    terminate.
+
+    bboxes [N,4] xyxy; bbox_scores [N]; preds [N,K,2]; scores [N,K];
+    valid [N] bool (padded/below-threshold detection slots).
+    Returns (keypoints [K,2] w/ -0.3 offset, kp_score [K], proposal_score,
+    pick_bbox [4], pick_bbox_score, valid_out) for the surviving proposal
+    with the highest proposal_score.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n, k = scores.shape
+    bboxes = bboxes.astype(jnp.float32)
+    bbox_scores = bbox_scores.astype(jnp.float32).reshape(-1)
+    preds = preds.astype(jnp.float32)
+    scores = scores.astype(jnp.float32)
+    scores = jnp.where(scores == 0, 1e-5, scores)      # pPose_nms.py:40
+
+    widths = bboxes[:, 2] - bboxes[:, 0]
+    heights = bboxes[:, 3] - bboxes[:, 1]
+    ref_dists = ALPHA * jnp.maximum(widths, heights)   # pPose_nms.py:52
+    human_scores = scores.mean(axis=1)                 # mean kp score
+
+    # pairwise per-keypoint distances: d[p, j, kp] = |preds[p,kp]-preds[j,kp]|
+    d = jnp.sqrt(jnp.sum((preds[:, None] - preds[None]) ** 2, axis=-1))
+
+    # simi[p, j]: parametric distance of candidate j to pick p
+    # (get_parametric_distance, pPose_nms.py:244-268; score term masked by
+    # dist<=1, point term NOT masked)
+    tanh_s = jnp.tanh(scores / DELTA1)                 # [N,K]
+    score_d = jnp.where(d <= 1.0, tanh_s[:, None] * tanh_s[None], 0.0)
+    simi = score_d.sum(-1) + MU * jnp.exp(-d / delta2).sum(-1)   # [N,N]
+
+    # n_match[p, j]: PCK matches vs pick p (PCK_match, pPose_nms.py:271-281)
+    pck_ref = jnp.minimum(ref_dists, 7.0)[:, None, None]
+    n_match = jnp.sum(d / pck_ref <= 1.0, axis=-1)     # [N,N]
+
+    idx = jnp.arange(n)
+
+    def body(_, state):
+        alive, picked, merge_mat = state
+        any_alive = jnp.any(alive)
+        hs = jnp.where(alive, human_scores, -jnp.inf)
+        p = jnp.argmax(hs)
+        del_row = alive & ((simi[p] > GAMMA) | (n_match[p] >= MATCH_THRESH))
+        # empty delete set -> delete the pick alone (pPose_nms.py:75-76);
+        # always include the pick (termination guard, see docstring)
+        del_row = jnp.where(jnp.any(del_row), del_row, idx == p)
+        del_row = (del_row | (idx == p)) & alive & any_alive
+        picked = picked | ((idx == p) & alive & any_alive)
+        merge_mat = merge_mat.at[p].set(
+            jnp.where(any_alive, del_row, merge_mat[p]))
+        alive = alive & ~del_row
+        return alive, picked, merge_mat
+
+    alive0 = jnp.asarray(valid, bool)
+    picked0 = jnp.zeros((n,), bool)
+    merge0 = jnp.zeros((n, n), bool)
+    _, picked, merge_mat = jax.lax.fori_loop(
+        0, n, body, (alive0, picked0, merge0))
+
+    # ---- score-weighted merge, vectorized over all picks (p_merge_fast) ----
+    merge_ref = jnp.minimum(ref_dists, 15.0)[:, None, None]
+    m_mask = (d <= merge_ref) & merge_mat[:, :, None]            # [N,N,K]
+    m_scores = scores[None] * m_mask                             # [N,N,K]
+    denom = m_scores.sum(axis=1)                                 # [N,K]
+    denom = jnp.where(denom == 0, 1e-12, denom)
+    normed = m_scores / denom[:, None]                           # [N,N,K]
+    final_pose = jnp.einsum("pjk,jkc->pkc", normed, preds)       # [N,K,2]
+    final_score = (m_scores * normed).sum(axis=1)                # [N,K]
+
+    # ---- filters + proposal score (pPose_nms.py:101-121) ----
+    f_pick = scores.max(axis=1) >= SCORE_THRESH
+    max_fs = final_score.max(axis=1)
+    f_merge = max_fs >= SCORE_THRESH
+    span_x = final_pose[..., 0].max(1) - final_pose[..., 0].min(1)
+    span_y = final_pose[..., 1].max(1) - final_pose[..., 1].min(1)
+    f_area = 1.5 ** 2 * span_x * span_y >= AREA_THRESH
+    proposal = final_score.mean(axis=1) + bbox_scores + 1.25 * max_fs
+
+    survive = picked & f_pick & f_merge & f_area
+    best = jnp.argmax(jnp.where(survive, proposal, -jnp.inf))
+    valid_out = jnp.any(survive)
+    return (final_pose[best] + KP_OFFSET, final_score[best],
+            proposal[best], bboxes[best], bbox_scores[best], valid_out)
+
+
 def pose_nms_single(bbox, bbox_score, pose_pred, pose_score):
     """Single-candidate fast path (n == 1), jit/numpy agnostic.
 

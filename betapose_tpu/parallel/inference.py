@@ -30,11 +30,12 @@ class ShardedPosePipeline:
                  cfg: PipelineConfig | None = None, mesh=None,
                  n_devices=None, model_parallel: int = 1):
         self.cfg = cfg or PipelineConfig()
-        if self.cfg.det_capacity > 1:
+        if self.cfg.det_capacity > 1 and self.cfg.host_pose_nms:
             raise ValueError(
-                "ShardedPosePipeline supports only the fused capacity-1 "
-                "graph; multi-candidate mode (det_capacity > 1) needs the "
-                "host pose-NMS stage — use PosePipeline")
+                "ShardedPosePipeline runs fully fused graphs; the "
+                "reference-style host clustering (host_pose_nms=True) "
+                "breaks the graph — use PosePipeline, or the default "
+                "device pose-NMS (host_pose_nms=False)")
         self.mesh = mesh or mesh_mod.make_mesh(n_devices, model_parallel)
         self.spec = spec
         if model_parallel > 1 or "model" in self.mesh.shape:

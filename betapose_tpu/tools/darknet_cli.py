@@ -3,7 +3,7 @@
 Counterpart of the vendored darknet's command surface
 (`train_YOLO/src/darknet.c:351` main -> `detector.c:1225` run_detector):
 
-  python -m betapose_tpu.tools.darknet_cli detector train  <data> <cfg> [weights] [-clear] [-gpus 0,1]
+  python -m betapose_tpu.tools.darknet_cli detector train  <data> <cfg> [weights] [-clear] [-gpus 0,1] [-resize_buckets 3]
   python -m betapose_tpu.tools.darknet_cli detector test   <data> <cfg> <weights> <image> [-thresh .24]
   python -m betapose_tpu.tools.darknet_cli detector valid  <data> <cfg> <weights>
   python -m betapose_tpu.tools.darknet_cli detector recall <data> <cfg> <weights>
@@ -388,7 +388,11 @@ def main(argv=None):
         n_dev = len(flags.get("gpus", "0").split(","))
         return train_from_data_cfg(
             pos[0], pos[1], pos[2] if len(pos) > 2 else None,
-            clear="clear" in flags, n_devices=n_dev)
+            clear="clear" in flags, n_devices=n_dev,
+            # static analog of darknet's per-10-iter random resize
+            # (detector.c:131-161, ~10 sizes); more buckets = finer
+            # distribution but one XLA compile each (PARITY deviation d7)
+            resize_buckets=int(flags.get("resize_buckets", 3)))
     if verb == "map":
         return cmd_map(pos[0], pos[1], pos[2],
                        iou_thresh=float(flags.get("iou_thresh", 0.25)))

@@ -207,7 +207,12 @@ def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=1500,
         # be silently misloaded under another (shapes may even coincide)
         fp = {"n_frames": n_frames, "reso": reso, "inp_h": inp_h,
               "inp_w": inp_w, "n_kp": n_kp, "seed": seed,
-              "z_range": list(z_range)}
+              "z_range": list(z_range),
+              # training-affecting knobs: stale weights trained under
+              # different iteration counts / augmentation must not reload
+              "yolo_iters": yolo_iters, "kpd_iters": kpd_iters,
+              "kpd_finetune_iters": kpd_finetune_iters,
+              "kpd_batch": kpd_batch, "add_dpg": add_dpg}
         fp_path = os.path.join(params_dir, "config.json")
         if os.path.exists(fp_path):
             on_disk = json.load(open(fp_path))

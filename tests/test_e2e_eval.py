@@ -60,16 +60,47 @@ class TestEvalCLI:
         assert set(stats) >= {"mean_add", "mean_2d_acc", "mean_iou"}
 
     @pytest.mark.slow
-    def test_occlusion_eval_cli_multi_candidate(self, sixd, tmp_path):
-        """--det_capacity 3 drives the multi-candidate path (device top-N
-        NMS, host pPose-NMS clustering, batched PnP) through the occlusion
-        CLI end to end."""
+    @pytest.mark.parametrize("mode", ["device", "host"])
+    def test_occlusion_eval_cli_multi_candidate(self, sixd, tmp_path, mode):
+        """--det_capacity 3 drives the multi-candidate path through the
+        occlusion CLI end to end — default: fused on-device pose-NMS;
+        --host_pose_nms: device top-N NMS, host pPose-NMS clustering,
+        batched PnP (reference DataWriter-style)."""
         src = os.path.join(sixd, "test", "01")
         dst = os.path.join(sixd, "test", "02")
         os.symlink(src, dst)
         from betapose_tpu.eval import occlusion_betapose_evaluate as occ
-        out, stats = self._run(occ.main, sixd, tmp_path,
-                               extra=["--left_keypoints", "10",
-                                      "--det_capacity", "3"])
+        extra = ["--left_keypoints", "10", "--det_capacity", "3"]
+        if mode == "host":
+            extra.append("--host_pose_nms")
+        out, stats = self._run(occ.main, sixd, tmp_path, extra=extra)
         assert os.path.exists(os.path.join(out, "Betapose-results.json"))
         assert set(stats) >= {"mean_add", "mean_2d_acc", "mean_iou"}
+
+    def test_explicit_missing_weights_error(self, sixd, tmp_path):
+        """A typo'd EXPLICIT --yolo_weights path must hard-error instead of
+        silently producing a random-weights run (VERDICT r2 weak #8)."""
+        from betapose_tpu.eval import betapose_evaluate
+        with pytest.raises(FileNotFoundError, match="yolo_weights"):
+            self._run(betapose_evaluate.main, sixd, tmp_path,
+                      extra=["--yolo_weights", "/no/such/file.weights"])
+        with pytest.raises(FileNotFoundError, match="kpd_weights"):
+            self._run(betapose_evaluate.main, sixd, tmp_path,
+                      extra=["--kpd_weights", "/no/such/model.pkl"])
+
+    def test_unsupported_nettype_rejected(self, sixd, tmp_path):
+        """The eval CLI must reject --netType values it does not serve
+        instead of silently building FastPose (VERDICT r2 weak #7)."""
+        from betapose_tpu.eval import betapose_evaluate
+        with pytest.raises(SystemExit, match="netType"):
+            self._run(betapose_evaluate.main, sixd, tmp_path,
+                      extra=["--netType", "hgPRM"])
+
+    def test_fast_inference_flag_parses_false(self):
+        """'--fast_inference False' must actually parse to False (the
+        reference's type=bool made it always-True, opt.py:45)."""
+        from betapose_tpu.core.config import make_parser
+        args = make_parser().parse_args(["--fast_inference", "False"])
+        assert args.fast_inference is False
+        args = make_parser().parse_args(["--fast_inference", "True"])
+        assert args.fast_inference is True

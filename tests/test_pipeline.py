@@ -91,6 +91,27 @@ class TestFusedSmoke:
         assert out["cam_t"].shape == (2, 3)
         assert np.all(np.isfinite(np.asarray(out["proposal_score"])))
 
+    def test_flip_tta_averages_mirrored_forward(self):
+        """flip_tta=True (--fast_inference False) must equal the InferenNet
+        semantics: (f(x) + unflip(f(flip(x)))) / 2 on the heatmap stage."""
+        from betapose_tpu.eval.pipeline import make_pose_stage
+        kpd_params = kpd_mod.init_params(jax.random.PRNGKey(1), n_classes=6,
+                                         arch="resnet50")
+        base = PipelineConfig(inp_h=64, inp_w=48, out_h=16, out_w=12, n_kp=6,
+                              compute_dtype="float32")
+        import dataclasses as dc
+        crops = jnp.asarray(np.random.default_rng(4).random(
+            (2, 64, 48, 3), np.float32))
+        plain = make_pose_stage(base)(kpd_params, crops)
+        tta = make_pose_stage(dc.replace(base, flip_tta=True))(
+            kpd_params, crops)
+        mirrored = make_pose_stage(base)(kpd_params, crops[:, :, ::-1, :])
+        expect = (plain + mirrored[:, :, :, ::-1]) / 2.0  # [B,K,H,W]
+        np.testing.assert_allclose(np.asarray(tta), np.asarray(expect),
+                                   rtol=1e-5, atol=1e-5)
+        # and it is a real change, not a no-op
+        assert not np.allclose(np.asarray(tta), np.asarray(plain))
+
     def test_run_batches_pipelining(self):
         spec = yolo_mod.build_spec(TINY_YOLO_CFG)
         yolo_params = yolo_mod.fold_bn(
@@ -208,7 +229,7 @@ class TestMultiCandidate:
     with n>1 inside an eval-shaped flow (VERDICT: candidate clusters in
     crowded/occlusion scenes)."""
 
-    def _pipe(self, capacity, monkeypatch=None, calls=None):
+    def _pipe(self, capacity, host=True):
         spec = yolo_mod.build_spec(TINY_YOLO_CFG)
         yolo_params = yolo_mod.fold_bn(
             spec, yolo_mod.init_params(jax.random.PRNGKey(0), spec))
@@ -218,8 +239,32 @@ class TestMultiCandidate:
         cfg = PipelineConfig(reso=96, inp_h=64, inp_w=48, out_h=16, out_w=12,
                              n_kp=6, confidence=0.0,  # every box passes
                              left_keypoints=6, compute_dtype="float32",
-                             det_capacity=capacity)
+                             det_capacity=capacity, host_pose_nms=host)
         return PosePipeline(spec, yolo_params, kpd_params, kp3d, CAM_K, cfg)
+
+    def test_device_matches_host_clustering(self):
+        """The fused on-device pose-NMS path (default) must produce the
+        same winning proposals/poses as the reference-style host clustering
+        loop over the same candidate sets."""
+        host = self._pipe(capacity=3, host=True)
+        dev = self._pipe(capacity=3, host=False)
+        frames = np.random.default_rng(3).integers(
+            0, 255, (4, 120, 160, 3), dtype=np.uint8)
+        oh = {k: np.asarray(v) for k, v in host(frames).items()}
+        od = {k: np.asarray(v) for k, v in dev(frames).items()}
+        assert oh["pose_valid"].shape == od["pose_valid"].shape
+        np.testing.assert_array_equal(oh["pose_valid"], od["pose_valid"])
+        np.testing.assert_array_equal(oh["det_valid"], od["det_valid"])
+        for k, atol in [("keypoints", 1e-2), ("kp_scores", 1e-4),
+                        ("proposal_score", 1e-3), ("boxes", 1e-2),
+                        ("obj_score", 1e-4)]:
+            np.testing.assert_allclose(oh[k], od[k], rtol=1e-3, atol=atol,
+                                       err_msg=k)
+        # poses from the same selected keypoints: compare in metric space
+        for i in range(len(frames)):
+            if oh["pose_valid"][i]:
+                np.testing.assert_allclose(oh["cam_t"][i], od["cam_t"][i],
+                                           rtol=1e-2, atol=1e-3)
 
     def test_cluster_loop_runs_with_n_gt_1(self, monkeypatch):
         from betapose_tpu.ops import pose_nms as pnms
