@@ -134,13 +134,38 @@ def head_loss(raw, anchors, all_anchors, num_classes, net_w, net_h,
     z_o = obj_z[bi, an, cj, ci]
     z_c = cls_z[bi, an, cj, ci]                        # [B,T,nc]
 
-    m = assign.astype(jnp.float32)
+    # ---- darknet collision semantics (yolo_layer.c:235-279): the truth
+    # loop is sequential, so when several GTs land on the same (cell,
+    # anchor) site the box/objectness delta is OVERWRITTEN — the last
+    # writer wins — while delta_yolo_class's already-set short-circuit
+    # (yolo_layer.c:112-120) only upgrades the new class entry, making the
+    # effective class target the UNION of the colliding one-hots.  A naive
+    # gather-sum would add every colliding GT's full contribution instead.
+    t_idx = jnp.arange(truths.shape[1])
+    later = t_idx[None, :] > t_idx[:, None]                     # [T,T]
+    same_site = (assign[:, :, None] & assign[:, None, :]
+                 & (an[:, :, None] == an[:, None, :])
+                 & (cj[:, :, None] == cj[:, None, :])
+                 & (ci[:, :, None] == ci[:, None, :]))          # [B,T,T]
+    overwritten = jnp.any(same_site & later[None], axis=2)      # [B,T]
+    is_last = assign & ~overwritten
+    same_cls = same_site & (gt_cls[:, :, None] == gt_cls[:, None, :])
+    cls_dup = jnp.any(same_cls & later[None], axis=2)
+
+    m = is_last.astype(jnp.float32)
     coord_loss = jnp.sum(m * scale * (
         _bce_from_logits(z_x, t_x) + _bce_from_logits(z_y, t_y)
         + 0.5 * (z_w - t_w) ** 2 + 0.5 * (z_h - t_h) ** 2))
     obj_pos_loss = jnp.sum(m * _bce_from_logits(z_o, 1.0))
     cls_onehot = jax.nn.one_hot(gt_cls, nc)
+    # last writer carries the full one-hot BCE vector; each earlier
+    # colliding GT only flips ITS class entry's target 0 -> 1, worth
+    # BCE(z,1) - BCE(z,0) = -z (skipped when a later GT shares the class,
+    # so a union entry is counted exactly once)
     cls_loss = jnp.sum(m[..., None] * _bce_from_logits(z_c, cls_onehot))
+    m_flip = (assign & ~is_last & ~cls_dup).astype(jnp.float32)
+    z_own = jnp.take_along_axis(z_c, gt_cls[..., None], axis=-1)[..., 0]
+    cls_loss = cls_loss + jnp.sum(m_flip * (-z_own))
 
     # background objectness everywhere, minus the gradient already applied
     # at assigned sites (darknet overwrites delta at the assigned index).
@@ -151,13 +176,16 @@ def head_loss(raw, anchors, all_anchors, num_classes, net_w, net_h,
     obj_bg_loss = jnp.sum(bg) - jnp.sum(assigned_bg)
 
     total = coord_loss + obj_pos_loss + cls_loss + obj_bg_loss
+    # count/avg_iou tally every assigned GT, collisions included (darknet
+    # increments per truth, yolo_layer.c:276-278)
+    n_assign = jnp.sum(assign.astype(jnp.float32))
     metrics = {
         "coord": coord_loss, "obj": obj_pos_loss, "cls": cls_loss,
         "noobj": obj_bg_loss,
-        "count": jnp.sum(m),
+        "count": n_assign,
         "avg_iou": jnp.sum(
             jnp.where(assign, _iou_xywh(pred[bi, an, cj, ci], gt_boxes), 0.0)
-        ) / jnp.maximum(jnp.sum(m), 1.0),
+        ) / jnp.maximum(n_assign, 1.0),
     }
     return total, metrics
 
