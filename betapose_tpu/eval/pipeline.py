@@ -72,21 +72,26 @@ def make_det_stage(yolo_spec, cfg: PipelineConfig):
 
     def det_stage(yolo_params, frames):
         _, h0, w0, _ = frames.shape
-        imgs = frames.astype(jnp.float32) / 255.0          # RGB [0,1]
+        # the resampled PIXELS feed bfloat16 convs, so cast uint8 straight
+        # to the compute dtype (0..255 are exactly representable in bf16;
+        # skips a full-res f32 materialization) — box/crop COORDINATES
+        # stay float32 throughout (imgs_c only carries image data)
+        imgs_c = frames.astype(cdtype) / jnp.asarray(255.0, cdtype)
 
         if cfg.preproc == "stretch":
             yolo_in = image_ops.resize_bilinear_matmul(
-                imgs, cfg.reso, cfg.reso)
+                imgs_c, cfg.reso, cfg.reso)
         else:
+            imgs = frames.astype(jnp.float32) / 255.0      # RGB [0,1]
             yolo_in = image_ops.letterbox(
-                imgs * 255.0, cfg.reso, cfg.reso) / 255.0
+                imgs * 255.0, cfg.reso, cfg.reso).astype(cdtype) / 255.0
         if cfg.s2d_stem:
             from betapose_tpu.models.stem_s2d import forward_with_s2d_stem
             dets = forward_with_s2d_stem(
-                yolo_spec, yolo_params, yolo_in.astype(cdtype), cfg.reso)
+                yolo_spec, yolo_params, yolo_in, cfg.reso)
         else:
             dets = yolo_mod.forward(
-                yolo_spec, yolo_params, yolo_in.astype(cdtype), cfg.reso)
+                yolo_spec, yolo_params, yolo_in, cfg.reso)
         if cfg.det_capacity > 1:
             # ---- multi-candidate: up to N greedy-NMS'd boxes per frame ----
             cand = box_ops.top_boxes(
@@ -103,7 +108,7 @@ def make_det_stage(yolo_spec, cfg: PipelineConfig):
                 return image_ops.crop_from_dets(
                     img, fboxes, cfg.inp_h, cfg.inp_w)
 
-            crops, pt1, pt2 = jax.vmap(crop_frame)(imgs, boxes)  # [B,N,...]
+            crops, pt1, pt2 = jax.vmap(crop_frame)(imgs_c, boxes)  # [B,N,..]
             bn = crops.shape[0] * crops.shape[1]
             return {"boxes": boxes, "obj_score": cand["obj_score"],
                     "det_valid": cand["valid"],
@@ -122,7 +127,7 @@ def make_det_stage(yolo_spec, cfg: PipelineConfig):
                 img, box[None, :], cfg.inp_h, cfg.inp_w)
             return crops[0], pt1[0], pt2[0]
 
-        crops, pt1, pt2 = jax.vmap(crop_one)(imgs, boxes)
+        crops, pt1, pt2 = jax.vmap(crop_one)(imgs_c, boxes)
         return {"boxes": boxes, "obj_score": best["obj_score"],
                 "det_valid": best["valid"], "crops": crops,
                 "pt1": pt1, "pt2": pt2}

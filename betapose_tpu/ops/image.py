@@ -167,7 +167,11 @@ def resize_bilinear_matmul(x, out_h: int, out_w: int,
 
     ry = interp_matrix(h, out_h)
     rx = interp_matrix(w, out_w)
-    with jax.default_matmul_precision("float32"):
+    # f32 inputs keep the f32-precision pin (geometry-grade exactness);
+    # bf16 inputs (NN-feed path: the pixels land in bf16 convs anyway) run
+    # native MXU bf16 passes — forcing f32 there would cost 3x passes.
+    prec = "float32" if x.dtype == jnp.float32 else "default"
+    with jax.default_matmul_precision(prec):
         t = jnp.einsum("ih,bhwc->biwc", ry, x)
         return jnp.einsum("jw,biwc->bijc", rx, t)
 
@@ -199,7 +203,13 @@ def crop_box_matmul(img, ul, br, res_h: int, res_w: int):
     wx = jnp.clip(1.0 - jnp.abs(src_x[:, None] - cols[None, :]), 0.0)
     wx = wx * ((cols[None, :] >= ul[0]) & (cols[None, :] < br[0]))
 
-    with jax.default_matmul_precision("float32"):
+    # weights are built in f32 (sub-pixel coordinates), then cast to the
+    # image dtype: f32 path keeps the f32-precision pin, bf16 path (NN
+    # feed) runs native MXU bf16 (see resize_bilinear_matmul)
+    prec = "float32" if img.dtype == jnp.float32 else "default"
+    wy = wy.astype(img.dtype)
+    wx = wx.astype(img.dtype)
+    with jax.default_matmul_precision(prec):
         tmp = jnp.einsum("ih,hwc->iwc", wy, img)
         out = jnp.einsum("jw,iwc->ijc", wx, tmp)
     return out
