@@ -95,16 +95,18 @@ class CubeModel:
     bright and a dark triangle so in-plane orientation is also readable) —
     a pose-learnable toy object for the self-test."""
 
-    def __init__(self, half=0.04, seed=0):
+    def __init__(self, half=0.04, seed=0, face_colors=None):
         rng = np.random.default_rng(seed)
         c = np.array([[x, y, z] for x in (-half, half)
                       for y in (-half, half) for z in (-half, half)])
         # faces as corner-index quads (x-, x+, y-, y+, z-, z+)
         quads = [(0, 1, 3, 2), (4, 6, 7, 5), (0, 4, 5, 1),
                  (2, 3, 7, 6), (0, 2, 6, 4), (1, 5, 7, 3)]
-        face_colors = np.array([
-            [0.9, 0.2, 0.2], [0.2, 0.9, 0.2], [0.2, 0.3, 0.9],
-            [0.9, 0.9, 0.2], [0.9, 0.3, 0.9], [0.2, 0.9, 0.9]])
+        if face_colors is None:
+            face_colors = np.array([
+                [0.9, 0.2, 0.2], [0.2, 0.9, 0.2], [0.2, 0.3, 0.9],
+                [0.9, 0.9, 0.2], [0.9, 0.3, 0.9], [0.2, 0.9, 0.9]])
+        face_colors = np.asarray(face_colors)
         verts, cols, tris = [], [], []
         for qi, q in enumerate(quads):
             base = len(verts)
@@ -120,7 +122,18 @@ class CubeModel:
         self.half = half
 
 
-def make_scene(rng, model, z_range=(0.55, 0.8)):
+def distractor_model():
+    """Occluder for the occlusion tier: a smaller cube in drab gray/brown
+    tones (visually distinct from every target face color) — the synthetic
+    analog of Occlusion-LineMod's foreground clutter."""
+    drab = np.array([[0.45, 0.40, 0.35], [0.35, 0.30, 0.28],
+                     [0.50, 0.45, 0.38], [0.30, 0.28, 0.25],
+                     [0.42, 0.38, 0.33], [0.38, 0.33, 0.30]])
+    return CubeModel(half=0.028, seed=1, face_colors=drab)
+
+
+def make_scene(rng, model, z_range=(0.55, 0.8), occluder=None,
+               occl_frac=(0.15, 0.5)):
     # LineMod-like viewpoint coverage: full in-plane rotation, limited tilt
     # (the real benchmark's views live on the upper hemisphere; a toy
     # training set can't cover all of SO(3))
@@ -149,6 +162,34 @@ def make_scene(rng, model, z_range=(0.55, 0.8)):
     frame = (rng.random((480, 640, 3)) * 0.25 * 255).astype(np.uint8)
     frame[mask] = np.clip(rgb[mask] * 255, 0, 255).astype(np.uint8)
     bbox = [xmin, ymin, xmax, ymax]
+
+    if occluder is not None:
+        # foreground distractor rendered into its OWN z-buffer, composed by
+        # depth comparison (no re-render per retry); retry offsets until
+        # it hides occl_frac of the target's visible pixels — the
+        # Occlusion-LineMod regime.  GT bbox/keypoints stay those of the
+        # FULL object (reference trains/evals with full GT under occlusion)
+        tgt_area = max(int(mask.sum()), 1)
+        for _ in range(10):
+            o_pose = np.eye(4)
+            o_ang = rng.uniform(0, 2 * np.pi, 3)
+            o_pose[:3, :3] = (rot(o_ang[0], 0) @ rot(o_ang[1], 1)
+                              @ rot(o_ang[2], 2))
+            side = rng.uniform(0, 2 * np.pi)
+            off = rng.uniform(0.25, 0.8) * model.half
+            o_pose[:3, 3] = t + [np.cos(side) * (model.half + off) * 0.9,
+                                 np.sin(side) * (model.half + off) * 0.9,
+                                 -rng.uniform(0.06, 0.12)]
+            ro = Renderer(size=(640, 480), cam=CAM_K)
+            ro.draw_model(occluder, o_pose)
+            rgb_o, depth_o = ro.finish()
+            omask = depth_o > 0
+            wins = omask & (~mask | (depth_o < depth))
+            frac = float((wins & mask).sum()) / tgt_area
+            if occl_frac[0] <= frac <= occl_frac[1]:
+                frame[wins] = np.clip(rgb_o[wins] * 255, 0,
+                                      255).astype(np.uint8)
+                break
     return frame, pose, bbox
 
 
@@ -156,14 +197,23 @@ def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=1500,
                  reso=192, inp_h=128, inp_w=96, n_kp=12, seed=0,
                  add_dpg=False, kpd_finetune_iters=0, kpd_batch=8,
                  z_range=(0.55, 0.8), left_keypoints=None, params_dir=None,
-                 pnp_robust_rounds=0, verbose=True):
+                 pnp_robust_rounds=0, occlusion=False, det_capacity=1,
+                 verbose=True):
     """params_dir: when set, trained weights are saved there
     (yolo.weights darknet-format + kpd.npz pytree) and reloaded on the
     next run instead of retraining — fast iteration on the eval side.
-    left_keypoints: PnP pruning (defaults to all n_kp)."""
+    left_keypoints: PnP pruning (defaults to all n_kp).
+
+    occlusion=True is the Occlusion-LineMod-shaped hard tier
+    (`occlusion_betapose_evaluate.py:86-273` capability): a drab
+    foreground distractor hides 15-50% of the target in EVERY eval frame
+    (and half the train frames, as real occlusion-scene training data
+    would); pair with det_capacity>1 so the multi-candidate pose-NMS path
+    sees real learned heatmaps under clutter."""
     import os
     rng = np.random.default_rng(seed)
     model = CubeModel()
+    occluder = distractor_model() if occlusion else None
     # designated keypoints: the 8 unique corners, 6 face centers, then the
     # 12 edge midpoints (well-spread distinct 3D points, as a SIFT
     # designator would produce); more keypoints average down PnP noise
@@ -181,8 +231,10 @@ def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=1500,
 
     # ---- stage 2: render + annotate ----
     frames, poses, bboxes, parts = [], [], [], []
-    for _ in range(n_frames + n_eval):
-        frame, pose, bbox = make_scene(rng, model, z_range)
+    for i in range(n_frames + n_eval):
+        occ = occluder if occlusion and (i >= n_frames
+                                         or rng.random() < 0.5) else None
+        frame, pose, bbox = make_scene(rng, model, z_range, occluder=occ)
         _, kp_img = annotate_frame(pose, bbox, model.vertices, kp3d, CAM_K)
         frames.append(frame)
         poses.append(pose)
@@ -212,7 +264,8 @@ def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=1500,
               # different iteration counts / augmentation must not reload
               "yolo_iters": yolo_iters, "kpd_iters": kpd_iters,
               "kpd_finetune_iters": kpd_finetune_iters,
-              "kpd_batch": kpd_batch, "add_dpg": add_dpg}
+              "kpd_batch": kpd_batch, "add_dpg": add_dpg,
+              "occlusion": occlusion}
         fp_path = os.path.join(params_dir, "config.json")
         if os.path.exists(fp_path):
             on_disk = json.load(open(fp_path))
@@ -329,7 +382,8 @@ def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=1500,
         reso=reso, inp_h=inp_h, inp_w=inp_w, out_h=out_h, out_w=out_w,
         n_kp=n_kp, left_keypoints=left_keypoints or n_kp, confidence=0.005,
         compute_dtype="float32", pallas_decode=None,
-        pnp_robust_rounds=pnp_robust_rounds)
+        pnp_robust_rounds=pnp_robust_rounds,
+        det_capacity=det_capacity)
     pipe = PosePipeline(spec, yolo_mod.fold_bn(spec, yparams), kparams,
                         kp3d, CAM_K, pcfg)
     eval_frames = frames[n_frames:]
@@ -397,8 +451,15 @@ def main(argv=None):
                    help="accuracy tier: more scenes/iters and full "
                         "LineMod-sized KPD crops, targeting the reference's "
                         "ADD<0.1*diameter success metric")
+    p.add_argument("--occlusion", action="store_true",
+                   help="hard tier (implies --slow settings): every eval "
+                        "frame has a foreground distractor hiding 15-50% "
+                        "of the target; eval runs det_capacity=4 through "
+                        "the multi-candidate pose-NMS path + robust PnP "
+                        "(the occlusion_betapose_evaluate.py capability)")
+    p.add_argument("--det_capacity", type=int, default=None)
     args = p.parse_args(argv)
-    if args.slow:
+    if args.slow or args.occlusion:
         stats = run_selftest(
             n_frames=max(args.frames, 800),
             n_eval=args.eval_frames or 16,
@@ -408,6 +469,9 @@ def main(argv=None):
             inp_h=320, inp_w=256, n_kp=26, add_dpg=True,
             z_range=(0.45, 0.65), left_keypoints=args.left_kp or 20,
             params_dir=args.params_dir,
+            occlusion=args.occlusion,
+            det_capacity=args.det_capacity
+            or (4 if args.occlusion else 1),
             pnp_robust_rounds=2 if args.pnp_robust is None
             else args.pnp_robust)
     else:
@@ -417,6 +481,7 @@ def main(argv=None):
                              n_eval=args.eval_frames or 8,
                              left_keypoints=args.left_kp,
                              params_dir=args.params_dir,
+                             det_capacity=args.det_capacity or 1,
                              pnp_robust_rounds=args.pnp_robust or 0)
     return stats
 

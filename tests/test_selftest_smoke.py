@@ -27,3 +27,28 @@ def test_selftest_tiny_and_params_cache(tmp_path):
     stats2 = run_selftest(**kw)
     assert stats2["n_eval"] == 2
     assert stats2["n_detected"] == stats["n_detected"]
+
+
+@pytest.mark.slow
+def test_selftest_occlusion_tier_smoke():
+    """Occlusion tier wiring: distractor-composited scenes feed the
+    multi-candidate (det_capacity>1) fused pipeline end to end."""
+    from betapose_tpu.tools.selftest import (run_selftest, make_scene,
+                                             CubeModel, distractor_model)
+
+    # scene composition: the occluder must actually hide target pixels
+    rng = np.random.default_rng(0)
+    model = CubeModel()
+    occ = distractor_model()
+    clean, pose, bbox = make_scene(np.random.default_rng(3), model)
+    occl, pose2, bbox2 = make_scene(np.random.default_rng(3), model,
+                                    occluder=occ)
+    assert np.array_equal(pose, pose2) and bbox == bbox2  # GT unchanged
+    assert (clean != occl).any(axis=-1).sum() > 500       # pixels hidden
+
+    stats = run_selftest(n_frames=6, n_eval=2, yolo_iters=2, kpd_iters=2,
+                         reso=96, inp_h=64, inp_w=32, n_kp=8,
+                         occlusion=True, det_capacity=3,
+                         left_keypoints=6, verbose=False)
+    assert stats["n_eval"] == 2
+    assert np.isfinite(stats["diameter_m"])
