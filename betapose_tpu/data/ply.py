@@ -173,3 +173,31 @@ def write_vertices_ascii(path, vertices: np.ndarray, comment: str = ""):
         f.write("end_header\n")
         for v in vertices:
             f.write(f"{v[0]} {v[1]} {v[2]}\n")
+
+
+def read_texcoords(path):
+    """Texture coordinates from a PLY, per the conventions the reference
+    renderer consumes (`utils/model.py:106-129`): vertex-wise
+    `texture_u`/`texture_v` properties, or a face-wise `texcoord` list
+    property scattered to per-vertex slots (last write wins, exactly the
+    reference's `temp[indices.flatten()] = texcoord.reshape(-1, 2)`).
+    Returns (N, 2) float64 or None."""
+    ply = read_ply(path)
+    v = ply["vertex"]
+    if "texture_u" in v.data and "texture_v" in v.data:
+        return np.stack([v.data["texture_u"], v.data["texture_v"]],
+                        axis=1).astype(np.float64)
+    if "face" in ply.elements and "texcoord" in ply["face"].data:
+        fel = ply["face"]
+        tc_face = np.stack(fel.data["texcoord"]).astype(np.float64)
+        idx = None
+        for key in ("vertex_indices", "vertex_index"):
+            if key in fel.data:
+                idx = np.stack(fel.data[key]).astype(np.int64)
+                break
+        if idx is None:
+            return None
+        out = np.zeros((v.count, 2))
+        out[idx.reshape(-1)] = tc_face.reshape(-1, 2)
+        return out
+    return None

@@ -21,6 +21,8 @@ class Model3D:
         self.vertices: np.ndarray | None = None
         self.faces = None
         self.diameter: float | None = None
+        self.texcoord: np.ndarray | None = None   # (N,2) UV, v up
+        self.texture: np.ndarray | None = None    # (H,W,3) float [0,1]
         if file_to_load:
             self.load(file_to_load, scale=scale)
 
@@ -29,7 +31,34 @@ class Model3D:
         self.vertices = self.vertices * scale
         if demean:
             self.vertices = self.vertices - self.vertices.mean(axis=0)
+        self._load_texture(path)
         return self
+
+    def _load_texture(self, path):
+        """Texture map lookup next to the mesh (same stem, .png/.jpg) +
+        PLY texcoords — the reference's textured-model convention
+        (`utils/model.py:97-129`, consumed by the renderer's textured
+        program `utils/renderer.py:50-85`).  Missing either piece leaves
+        the model vertex-colored/untextured; never an error."""
+        import os
+        stem = os.path.splitext(path)[0]
+        tex_path = next((stem + ext for ext in (".png", ".jpg", ".jpeg")
+                         if os.path.exists(stem + ext)), None)
+        if tex_path is None:
+            return
+        try:
+            tc = plyio.read_texcoords(path)
+        except Exception:
+            tc = None
+        if tc is None:
+            return
+        import cv2
+        img = cv2.imread(tex_path, cv2.IMREAD_COLOR)
+        if img is None:
+            return
+        self.texture = (cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+                        .astype(np.float64) / 255.0)
+        self.texcoord = tc
 
     def refine(self, total_kp: int = 30, save: bool = False,
                save_path: str = "test.ply"):

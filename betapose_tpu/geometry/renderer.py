@@ -83,8 +83,16 @@ class Renderer:
             xy, z = project_to_pixels(vc, self.cam)
             self._splat(xy, z, colors)
             return
+        # UV-textured path (reference's textured program,
+        # utils/renderer.py:50-85): models carrying texcoord+texture
+        # sample the map instead of interpolating vertex colors
+        texcoord = getattr(model, "texcoord", None)
+        texture = getattr(model, "texture", None)
         self._rasterize(vc, np.asarray(faces, int), np.asarray(colors),
-                        ambient_weight, np.asarray(light, np.float64))
+                        ambient_weight, np.asarray(light, np.float64),
+                        texcoord=None if texture is None else
+                        np.asarray(texcoord, np.float64),
+                        texture=texture)
 
     def draw_boundingbox(self, model, pose, color=(0, 1, 0)):
         """Draw the model's 3D bbox wireframe (reference :170-181)."""
@@ -124,7 +132,8 @@ class Renderer:
             if 0 <= x < self.w and 0 <= y < self.h:
                 self.color[y, x] = color
 
-    def _rasterize(self, vc, faces, colors, ambient_weight, light):
+    def _rasterize(self, vc, faces, colors, ambient_weight, light,
+                   texcoord=None, texture=None):
         xy, z = project_to_pixels(vc, self.cam)
         for f in faces:
             i0, i1, i2 = f[:3]
@@ -160,9 +169,31 @@ class Renderer:
                 continue
             # perspective-correct depth: interpolate 1/z
             zi = 1.0 / (w0 / z[i0] + w1 / z[i1] + w2 / z[i2])
-            col = (w0[..., None] * colors[i0][:3]
-                   + w1[..., None] * colors[i1][:3]
-                   + w2[..., None] * colors[i2][:3]) * shade
+            if texture is not None:
+                # barycentric UV -> bilinear texture sample (GL linear
+                # filtering); v runs bottom-up (GL convention) so image
+                # row = (1 - v)
+                u = (w0 * texcoord[i0, 0] + w1 * texcoord[i1, 0]
+                     + w2 * texcoord[i2, 0])
+                v = (w0 * texcoord[i0, 1] + w1 * texcoord[i1, 1]
+                     + w2 * texcoord[i2, 1])
+                th, tw = texture.shape[:2]
+                fx = np.clip(u, 0.0, 1.0) * (tw - 1)
+                fy = np.clip(1.0 - v, 0.0, 1.0) * (th - 1)
+                x0i = np.clip(np.floor(fx).astype(int), 0, tw - 2)
+                y0i = np.clip(np.floor(fy).astype(int), 0, th - 2)
+                ax = (fx - x0i)[..., None]
+                ay = (fy - y0i)[..., None]
+                t00 = texture[y0i, x0i]
+                t01 = texture[y0i, x0i + 1]
+                t10 = texture[y0i + 1, x0i]
+                t11 = texture[y0i + 1, x0i + 1]
+                col = ((1 - ay) * ((1 - ax) * t00 + ax * t01)
+                       + ay * ((1 - ax) * t10 + ax * t11)) * shade
+            else:
+                col = (w0[..., None] * colors[i0][:3]
+                       + w1[..., None] * colors[i1][:3]
+                       + w2[..., None] * colors[i2][:3]) * shade
             sub_d = self.depth[ymin:ymax + 1, xmin:xmax + 1]
             sub_c = self.color[ymin:ymax + 1, xmin:xmax + 1]
             upd = inside & (zi < sub_d)

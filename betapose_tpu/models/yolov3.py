@@ -52,6 +52,12 @@ class LayerSpec:
     ignore_thresh: float = 0.7
     # connected
     in_features: int = 0        # flattened h*w*c feeding the matmul
+    # detection (YOLOv1 head, detection_layer.c)
+    side: int = 0               # SxS grid
+    num: int = 0                # boxes per cell
+    coords: int = 4
+    det_softmax: bool = False   # per-cell softmax over classes
+    det_sqrt: bool = False      # w,h predicted as sqrt
 
 
 @dataclasses.dataclass(frozen=True)
@@ -211,11 +217,29 @@ def build_spec(cfg) -> NetworkSpec:
                 ignore_thresh=float(b.get("ignore_thresh", 0.7))))
             out_channels.append(cin)
             dims.append((cur_h, cur_w))
+        elif t == "detection":
+            # YOLOv1 head (parser.c parse_detection:367-387): a flat
+            # [connected] output laid out [S*S*classes | S*S*num |
+            # S*S*num*coords]; parameterless
+            coords = int(b.get("coords", 1))
+            if coords != 4:
+                raise ValueError(
+                    f"[detection] coords={coords} unsupported (only the "
+                    "standard coords=4 box layout)")
+            needed.add(i - 1)
+            layers.append(LayerSpec(
+                "detection", cin,
+                side=int(b.get("side", 7)), num=int(b.get("num", 1)),
+                num_classes=int(b.get("classes", 1)), coords=coords,
+                det_softmax=bool(int(b.get("softmax", 0))),
+                det_sqrt=bool(int(b.get("sqrt", 0)))))
+            out_channels.append(cin)
+            dims.append((cur_h, cur_w))
         else:
             raise ValueError(
                 f"unsupported block type: {t} (supported: convolutional,"
                 " shortcut, route, upsample, maxpool, avgpool, connected,"
-                " dropout, softmax, cost, reorg, region, yolo)")
+                " dropout, softmax, cost, reorg, region, yolo, detection)")
     return NetworkSpec(tuple(layers), frozenset(needed), net_info)
 
 
@@ -601,6 +625,40 @@ def decode_region_head(x_nhwc, anchors, num_classes, reso):
     return out.reshape(b, na * gs * gs, attrs)
 
 
+def decode_detection_head(x_flat, l: LayerSpec, reso):
+    """Decode a YOLOv1 [detection] head (detection_layer.c
+    forward_detection_layer softmax pass + get_detection_boxes:532-558):
+    flat layout [S*S*classes | S*S*num obj | S*S*num*4 boxes], with
+      bx = (px + col)/S,  by = (py + row)/S,  bw = pw^(sqrt?2:1)
+    normalized then scaled to input-resolution pixels (decode_head's
+    convention).  Class probabilities are per CELL (shared by that cell's
+    `num` boxes); optional per-cell softmax.  Parameterless layer."""
+    s, n, nc = l.side, l.num, l.num_classes
+    sc = s * s
+    b = x_flat.shape[0]
+    x = x_flat.reshape(b, -1).astype(jnp.float32)
+    cls = x[:, :sc * nc].reshape(b, sc, nc)
+    if l.det_softmax:
+        cls = jax.nn.softmax(cls, axis=-1)
+    obj = x[:, sc * nc:sc * (nc + n)].reshape(b, sc, n)
+    boxes = x[:, sc * (nc + n):sc * (nc + n) + sc * n * 4]
+    boxes = boxes.reshape(b, sc, n, 4)
+
+    cell = jnp.arange(sc, dtype=jnp.float32)
+    col = (cell % s)[None, :, None]
+    row = (cell // s)[None, :, None]
+    bx = (boxes[..., 0] + col) / s * reso
+    by = (boxes[..., 1] + row) / s * reso
+    wh_pow = 2 if l.det_sqrt else 1
+    bw = boxes[..., 2] ** wh_pow * reso
+    bh = boxes[..., 3] ** wh_pow * reso
+    cls_b = jnp.broadcast_to(cls[:, :, None, :], (b, sc, n, nc))
+    out = jnp.concatenate(
+        [bx[..., None], by[..., None], bw[..., None], bh[..., None],
+         obj[..., None], cls_b], axis=-1)          # [B, sc, n, 5+nc]
+    return out.reshape(b, sc * n, 5 + nc)
+
+
 def decode_head(x_nhwc, anchors, num_classes, reso):
     """Decode one yolo head's raw conv output to boxes.
 
@@ -679,6 +737,11 @@ def forward(spec: NetworkSpec, params, x, reso: int, decode: bool = True,
             if decode:
                 decoded.append(
                     decode_region_head(x, l.anchors, l.num_classes, reso))
+            x = cache[i - 1]
+        elif l.kind == "detection":
+            raw_heads.append(x)
+            if decode:
+                decoded.append(decode_detection_head(x, l, reso))
             x = cache[i - 1]
         elif l.kind == "yolo":
             raw_heads.append(x)

@@ -196,6 +196,13 @@ def yolo_loss(spec, params, images, truths, net_w, net_h,
     train=True uses batch-stat BN (darknet training semantics)."""
     from betapose_tpu.models import yolov3 as yolo_mod
 
+    if not spec.yolo_idxs and any(
+            l.kind in ("region", "detection") for l in spec.layers):
+        raise NotImplementedError(
+            "training losses for YOLOv1 [detection] / YOLOv2 [region] "
+            "heads are not implemented — inference/decode only "
+            "(detection_layer.c / region_layer.c train branches); "
+            "Betapose trains [yolo] heads")
     raw_heads = yolo_mod.forward(spec, params, images, net_w, decode=False,
                                  train=train, bn_stats=bn_stats)
     head_specs = [spec.layers[i] for i in spec.yolo_idxs]

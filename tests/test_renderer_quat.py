@@ -134,3 +134,109 @@ class TestVideoOverlay:
                                 kp_scores=[0.9, 0.1])
         assert out.sum() > 0
         assert out.shape == frame.shape
+
+
+class TestTexturedRendering:
+    """UV-textured rasterization (reference textured GLSL program,
+    `utils/renderer.py:50-85`, + the texcoord loading conventions of
+    `utils/model.py:97-129`)."""
+
+    @staticmethod
+    def _quad_model(texcoord):
+        class M:
+            pass
+        m = M()
+        # unit quad facing the camera at z=0.5m
+        m.vertices = np.array([[-0.05, -0.05, 0.0], [0.05, -0.05, 0.0],
+                               [0.05, 0.05, 0.0], [-0.05, 0.05, 0.0]])
+        m.faces = np.array([[0, 1, 2], [0, 2, 3]])
+        m.colors = np.full((4, 3), 0.5)
+        m.texcoord = np.asarray(texcoord, np.float64)
+        # left half red, right half green
+        tex = np.zeros((8, 8, 3))
+        tex[:, :4] = [1.0, 0.0, 0.0]
+        tex[:, 4:] = [0.0, 1.0, 0.0]
+        m.texture = tex
+        return m
+
+    def test_texture_sampled_left_right(self):
+        from betapose_tpu.geometry.renderer import Renderer
+        cam = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+        # u: 0 at left vertex, 1 at right
+        model = self._quad_model([[0, 0], [1, 0], [1, 1], [0, 1]])
+        pose = np.eye(4)
+        pose[2, 3] = 0.5
+        r = Renderer(size=(640, 480), cam=cam)
+        r.draw_model(model, pose, ambient_weight=1.0)  # no shading falloff
+        rgb, depth = r.finish()
+        assert (depth > 0).sum() > 500
+        left = rgb[240, 290]   # left of center -> u < 0.5 -> red
+        right = rgb[240, 350]  # right of center -> green
+        assert left[0] > 0.9 and left[1] < 0.1
+        assert right[1] > 0.9 and right[0] < 0.1
+
+    def test_untextured_model_unaffected(self):
+        from betapose_tpu.geometry.renderer import Renderer
+        cam = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+        model = self._quad_model([[0, 0], [1, 0], [1, 1], [0, 1]])
+        model.texture = None
+        pose = np.eye(4)
+        pose[2, 3] = 0.5
+        r = Renderer(size=(640, 480), cam=cam)
+        r.draw_model(model, pose, ambient_weight=1.0)
+        rgb, depth = r.finish()
+        center = rgb[240, 320]
+        np.testing.assert_allclose(center, 0.5, atol=0.05)  # vertex colors
+
+
+class TestTexcoordLoading:
+    def test_vertex_wise_uv_and_texture_png(self, tmp_path):
+        cv2 = pytest.importorskip("cv2")
+        from betapose_tpu.geometry.model3d import Model3D
+        ply = tmp_path / "obj.ply"
+        ply.write_text(
+            "ply\nformat ascii 1.0\n"
+            "element vertex 3\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "property float texture_u\nproperty float texture_v\n"
+            "element face 1\n"
+            "property list uchar int vertex_indices\n"
+            "end_header\n"
+            "0 0 0 0.0 0.0\n1 0 0 1.0 0.0\n0 1 0 0.0 1.0\n"
+            "3 0 1 2\n")
+        tex = np.zeros((4, 4, 3), np.uint8)
+        tex[..., 2] = 255  # BGR blue png -> RGB [0,0,1]
+        cv2.imwrite(str(tmp_path / "obj.png"), tex)
+        m = Model3D(str(ply))
+        assert m.texcoord is not None and m.texcoord.shape == (3, 2)
+        np.testing.assert_allclose(m.texcoord[1], [1.0, 0.0])
+        assert m.texture is not None
+        np.testing.assert_allclose(m.texture[0, 0], [1.0, 0.0, 0.0])
+
+    def test_face_wise_texcoord_scatter(self, tmp_path):
+        from betapose_tpu.data import ply as plyio
+        ply = tmp_path / "obj.ply"
+        ply.write_text(
+            "ply\nformat ascii 1.0\n"
+            "element vertex 3\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "element face 1\n"
+            "property list uchar int vertex_indices\n"
+            "property list uchar float texcoord\n"
+            "end_header\n"
+            "0 0 0\n1 0 0\n0 1 0\n"
+            "3 0 1 2 6 0.1 0.2 0.3 0.4 0.5 0.6\n")
+        tc = plyio.read_texcoords(str(ply))
+        assert tc.shape == (3, 2)
+        np.testing.assert_allclose(tc[0], [0.1, 0.2])
+        np.testing.assert_allclose(tc[2], [0.5, 0.6])
+
+    def test_no_texture_files_is_fine(self, tmp_path):
+        from betapose_tpu.geometry.model3d import Model3D
+        ply = tmp_path / "plain.ply"
+        ply.write_text(
+            "ply\nformat ascii 1.0\nelement vertex 1\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "end_header\n0 0 0\n")
+        m = Model3D(str(ply))
+        assert m.texture is None and m.texcoord is None

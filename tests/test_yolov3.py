@@ -519,3 +519,122 @@ class TestYoloV2:
                                                 allow_partial=False)
         out2 = np.asarray(yolov3.forward(spec, loaded, x, reso=96))
         np.testing.assert_array_equal(dets, out2)
+
+
+class TestYoloV1Detection:
+    """YOLOv1 [detection] head (detection_layer.c): flat-layout decode
+    against a numpy transcription of get_detection_boxes:532-558, cfg
+    build via [connected] -> [detection], and .weights roundtrip."""
+
+    V1_CFG = """
+[net]
+width=64
+height=64
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[connected]
+output=208
+activation=linear
+
+[detection]
+classes=3
+coords=4
+rescore=1
+side=4
+num=2
+softmax=0
+sqrt=1
+jitter=.2
+"""
+
+    def _decode_oracle(self, flat, side, num, classes, sqrt_flag, reso):
+        """numpy transcription of get_detection_boxes (image w=h=reso)."""
+        sc = side * side
+        rows = []
+        for i in range(sc):
+            row_i, col_i = i // side, i % side
+            for n in range(num):
+                p_index = sc * classes + i * num + n
+                scale = flat[p_index]
+                bi = sc * (classes + num) + (i * num + n) * 4
+                x = (flat[bi + 0] + col_i) / side * reso
+                y = (flat[bi + 1] + row_i) / side * reso
+                w = flat[bi + 2] ** (2 if sqrt_flag else 1) * reso
+                h = flat[bi + 3] ** (2 if sqrt_flag else 1) * reso
+                cls = flat[i * classes:(i + 1) * classes]
+                rows.append([x, y, w, h, scale] + list(cls))
+        return np.asarray(rows, np.float32)
+
+    def test_decode_matches_c_transcription(self):
+        rng = np.random.RandomState(0)
+        side, num, nc, reso = 4, 2, 3, 64
+        flat = rng.rand(side * side * (nc + num * 5)).astype(np.float32)
+        spec_l = yolov3.LayerSpec(
+            "detection", 0, side=side, num=num, num_classes=nc,
+            coords=4, det_sqrt=True)
+        got = np.asarray(yolov3.decode_detection_head(
+            jnp.asarray(flat[None]), spec_l, reso))[0]
+        want = self._decode_oracle(flat, side, num, nc, True, reso)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_cfg_builds_runs_and_roundtrips(self, tmp_path):
+        spec = yolov3.build_spec(self.V1_CFG)
+        kinds = [l.kind for l in spec.layers]
+        assert kinds[-2:] == ["connected", "detection"]
+        det = spec.layers[-1]
+        assert (det.side, det.num, det.num_classes) == (4, 2, 3)
+        assert det.det_sqrt and not det.det_softmax
+        params = yolov3.init_params(jax.random.PRNGKey(0), spec)
+        x = jnp.asarray(np.random.RandomState(1).rand(
+            2, 64, 64, 3).astype(np.float32))
+        out = yolov3.forward(spec, params, x, 64)
+        assert out.shape == (2, 4 * 4 * 2, 5 + 3)
+        assert np.isfinite(np.asarray(out)).all()
+
+        # byte roundtrip: [detection] holds no params; conv/connected do
+        path = str(tmp_path / "v1.weights")
+        yolov3.save_darknet_weights(spec, params, path)
+        loaded, _ = yolov3.load_darknet_weights(spec, path)
+        out2 = yolov3.forward(spec, loaded, x, 64)
+        np.testing.assert_allclose(np.asarray(out2), np.asarray(out),
+                                   rtol=1e-6)
+
+    def test_softmax_classes(self):
+        rng = np.random.RandomState(2)
+        side, num, nc = 2, 1, 3
+        flat = rng.randn(side * side * (nc + num * 5)).astype(np.float32)
+        l_soft = yolov3.LayerSpec("detection", 0, side=side, num=num,
+                                  num_classes=nc, coords=4,
+                                  det_softmax=True)
+        got = np.asarray(yolov3.decode_detection_head(
+            jnp.asarray(flat[None]), l_soft, 64))[0]
+        cls = got[:, 5:]
+        np.testing.assert_allclose(cls.sum(axis=1), 1.0, rtol=1e-5)
+
+    def test_train_loss_rejects_v1_head(self):
+        from betapose_tpu.train.yolo_loss import yolo_loss
+        spec = yolov3.build_spec(self.V1_CFG)
+        params = yolov3.init_params(jax.random.PRNGKey(0), spec)
+        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        truths = jnp.zeros((1, 4, 5), jnp.float32)
+        with pytest.raises(NotImplementedError, match="detection"):
+            yolo_loss(spec, params, x, truths, 64, 64)
