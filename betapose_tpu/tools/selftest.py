@@ -133,7 +133,10 @@ def distractor_model():
 
 
 def make_scene(rng, model, z_range=(0.55, 0.8), occluder=None,
-               occl_frac=(0.15, 0.5)):
+               occl_frac=(0.15, 0.5), kp3d=None):
+    """kp3d: when given, ALSO return a (K,) per-keypoint visibility array
+    (1 = visible, 0 = hidden behind the occluder) — the training signal
+    for occlusion-aware KPD supervision (train/augment.py kp_vis)."""
     # LineMod-like viewpoint coverage: full in-plane rotation, limited tilt
     # (the real benchmark's views live on the upper hemisphere; a toy
     # training set can't cover all of SO(3))
@@ -163,6 +166,7 @@ def make_scene(rng, model, z_range=(0.55, 0.8), occluder=None,
     frame[mask] = np.clip(rgb[mask] * 255, 0, 255).astype(np.uint8)
     bbox = [xmin, ymin, xmax, ymax]
 
+    kp_vis = None if kp3d is None else np.ones(len(kp3d), np.float32)
     if occluder is not None:
         # foreground distractor rendered into its OWN z-buffer, composed by
         # depth comparison (no re-render per retry); retry offsets until
@@ -189,7 +193,22 @@ def make_scene(rng, model, z_range=(0.55, 0.8), occluder=None,
             if occl_frac[0] <= frac <= occl_frac[1]:
                 frame[wins] = np.clip(rgb_o[wins] * 255, 0,
                                       255).astype(np.uint8)
+                if kp3d is not None:
+                    # keypoint hidden iff the occluder's depth at its
+                    # projected pixel is in front of the keypoint
+                    kc = kp3d @ pose[:3, :3].T + pose[:3, 3]
+                    u = np.clip((CAM_K[0, 0] * kc[:, 0] / kc[:, 2]
+                                 + CAM_K[0, 2]).round().astype(int),
+                                0, 639)
+                    v = np.clip((CAM_K[1, 1] * kc[:, 1] / kc[:, 2]
+                                 + CAM_K[1, 2]).round().astype(int),
+                                0, 479)
+                    hidden = omask[v, u] & (depth_o[v, u]
+                                            < kc[:, 2] - 1e-4)
+                    kp_vis = (~hidden).astype(np.float32)
                 break
+    if kp3d is not None:
+        return frame, pose, bbox, kp_vis
     return frame, pose, bbox
 
 
@@ -230,19 +249,22 @@ def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=1500,
     kp3d = np.concatenate([corners, centers, np.asarray(edge_mids)])[:n_kp]
 
     # ---- stage 2: render + annotate ----
-    frames, poses, bboxes, parts = [], [], [], []
+    frames, poses, bboxes, parts, viss = [], [], [], [], []
     for i in range(n_frames + n_eval):
         occ = occluder if occlusion and (i >= n_frames
                                          or rng.random() < 0.5) else None
-        frame, pose, bbox = make_scene(rng, model, z_range, occluder=occ)
+        frame, pose, bbox, kp_vis = make_scene(
+            rng, model, z_range, occluder=occ, kp3d=kp3d)
         _, kp_img = annotate_frame(pose, bbox, model.vertices, kp3d, CAM_K)
         frames.append(frame)
         poses.append(pose)
         bboxes.append(bbox)
         parts.append(kp_img)
+        viss.append(kp_vis)
     frames = np.stack(frames)
     bboxes_np = np.asarray(bboxes, np.float32)
     parts_np = np.stack(parts).astype(np.float32)
+    viss_np = np.stack(viss).astype(np.float32)
     if verbose:
         print(f"rendered {len(frames)} scenes")
 
@@ -346,7 +368,8 @@ def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=1500,
             key, k1 = jax.random.split(key)
             batch = augment_batch(k1, imgs01[sel],
                                   jnp.asarray(bboxes_np[sel]),
-                                  jnp.asarray(parts_np[sel]), aug_cfg)
+                                  jnp.asarray(parts_np[sel]), aug_cfg,
+                                  kp_vis=viss_np[sel])
             kparams, kopt, km = kstep(kparams, kopt, batch)
         if verbose:
             print(f"kpd trained {kpd_iters} iters "
@@ -366,7 +389,8 @@ def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=1500,
                 key, k1 = jax.random.split(key)
                 batch = augment_batch(k1, imgs01[sel],
                                       jnp.asarray(bboxes_np[sel]),
-                                      jnp.asarray(parts_np[sel]), aug_cfg)
+                                      jnp.asarray(parts_np[sel]), aug_cfg,
+                                      kp_vis=viss_np[sel])
                 kparams, kopt2, km = kstep2(kparams, kopt2, batch)
             if verbose:
                 print(f"kpd finetuned {kpd_finetune_iters} iters @1e-4 "

@@ -88,8 +88,12 @@ def _rotate_image(img, deg):
     return image_ops._bilinear_gather(img, sy, sx)
 
 
-def _augment_one(key, img, bndbox, part, cfg: AugmentConfig):
-    """img: [H,W,3] RGB float [0,1]; bndbox: (4,); part: (K,2)."""
+def _augment_one(key, img, bndbox, part, cfg: AugmentConfig, kp_vis=None):
+    """img: [H,W,3] RGB float [0,1]; bndbox: (4,); part: (K,2);
+    kp_vis: optional (K,) visibility in [0,1] — occluded keypoints get a
+    ZERO heatmap target (the network is taught low confidence there, so
+    score-based pruning and pose-NMS discount them; cf. the reference's
+    occlusion marking, `utils/utils.py handle_occlusion`)."""
     keys = jax.random.split(key, 12)
     h, w, _ = img.shape
     n_kp = part.shape[0]
@@ -182,6 +186,8 @@ def _augment_one(key, img, bndbox, part, cfg: AugmentConfig):
     labels = hm_ops.draw_gaussian_batch(
         hm_pts[None], cfg.out_h, cfg.out_w, sigma=cfg.hm_gauss)[0]
     labels = labels * vis[:, None, None]              # [K, out_h, out_w]
+    if kp_vis is not None:
+        labels = labels * kp_vis[:, None, None]
     set_mask = jnp.ones((n_kp, cfg.out_h, cfg.out_w), labels.dtype)
 
     if cfg.train:
@@ -201,11 +207,20 @@ def _augment_one(key, img, bndbox, part, cfg: AugmentConfig):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def augment_batch(key, imgs, bndboxes, parts, cfg: AugmentConfig):
-    """imgs: [B,H,W,3] RGB in [0,1]; bndboxes: [B,4]; parts: [B,K,2].
-    Returns dict(inps [B,iH,iW,3], labels [B,oH,oW,K], set_mask)."""
+def _augment_batch_jit(key, imgs, bndboxes, parts, cfg, kp_vis):
     keys = jax.random.split(key, imgs.shape[0])
     inps, labels, masks = jax.vmap(
-        lambda k, i, b, p: _augment_one(k, i, b, p, cfg))(
-            keys, imgs, bndboxes, parts)
+        lambda k, i, b, p, v: _augment_one(k, i, b, p, cfg, v))(
+            keys, imgs, bndboxes, parts, kp_vis)
     return {"inps": inps, "labels": labels, "set_mask": masks}
+
+
+def augment_batch(key, imgs, bndboxes, parts, cfg: AugmentConfig,
+                  kp_vis=None):
+    """imgs: [B,H,W,3] RGB in [0,1]; bndboxes: [B,4]; parts: [B,K,2];
+    kp_vis: optional [B,K] per-keypoint visibility (see _augment_one).
+    Returns dict(inps [B,iH,iW,3], labels [B,oH,oW,K], set_mask)."""
+    if kp_vis is None:
+        kp_vis = jnp.ones(parts.shape[:2], jnp.float32)
+    return _augment_batch_jit(key, imgs, bndboxes, parts, cfg,
+                              jnp.asarray(kp_vis, jnp.float32))

@@ -111,3 +111,40 @@ class TestAnnotH5:
         assert names2 == names
         np.testing.assert_allclose(bnd2, bnd.reshape(3, 4), rtol=1e-6)
         np.testing.assert_allclose(part2, part, rtol=1e-6)
+
+
+class TestKpVisibility:
+    """Occlusion-aware supervision: kp_vis zeroes the heatmap TARGET for
+    hidden keypoints (the network is taught low confidence there) while
+    set_mask stays 1 so the zero target is actively supervised."""
+
+    def test_hidden_kp_gets_zero_target(self):
+        cfg = AugmentConfig(inp_h=64, inp_w=32, out_h=16, out_w=8,
+                            train=False)
+        rng = np.random.default_rng(0)
+        imgs = jnp.asarray(rng.random((2, 120, 160, 3)).astype(np.float32))
+        bnd = jnp.asarray([[40, 30, 120, 100], [40, 30, 120, 100]],
+                          dtype=jnp.float32)
+        part = jnp.asarray(rng.uniform(50, 90, (2, 4, 2)).astype(np.float32))
+        vis = np.ones((2, 4), np.float32)
+        vis[0, 1] = 0.0
+        out = augment_batch(jax.random.PRNGKey(0), imgs, bnd, part, cfg,
+                            kp_vis=jnp.asarray(vis))
+        labels = np.asarray(out["labels"])       # [B, oh, ow, K]
+        assert labels[0, :, :, 1].max() == 0.0   # hidden -> zero target
+        assert labels[0, :, :, 0].max() > 0.5    # visible -> gaussian
+        assert labels[1, :, :, 1].max() > 0.5    # other frame unaffected
+        assert np.asarray(out["set_mask"]).min() == 1.0
+
+    def test_default_is_all_visible(self):
+        cfg = AugmentConfig(inp_h=64, inp_w=32, out_h=16, out_w=8,
+                            train=False)
+        rng = np.random.default_rng(1)
+        imgs = jnp.asarray(rng.random((1, 120, 160, 3)).astype(np.float32))
+        bnd = jnp.asarray([[40, 30, 120, 100]], dtype=jnp.float32)
+        part = jnp.asarray(rng.uniform(50, 90, (1, 4, 2)).astype(np.float32))
+        a = augment_batch(jax.random.PRNGKey(0), imgs, bnd, part, cfg)
+        b = augment_batch(jax.random.PRNGKey(0), imgs, bnd, part, cfg,
+                          kp_vis=jnp.ones((1, 4)))
+        np.testing.assert_array_equal(np.asarray(a["labels"]),
+                                      np.asarray(b["labels"]))
