@@ -372,15 +372,25 @@ def main(argv=None):
         print(__doc__)
         return 1
     verb = argv[1]
-    pos = [a for a in argv[2:] if not a.startswith("-")]
+    # boolean flags take no value (darknet find_arg vs find_char_arg,
+    # utils.c) — '-clear' mid-line must not swallow a positional, and a
+    # value flag's argument must not leak into the positional list
+    BOOL_FLAGS = {"clear", "dont_show", "show"}
+    pos = []
     flags = {}
     i = 0
     rest = argv[2:]
     while i < len(rest):
         if rest[i].startswith("-"):
-            flags[rest[i].lstrip("-")] = rest[i + 1] if i + 1 < len(rest) else ""
-            i += 2
+            name = rest[i].lstrip("-")
+            if name in BOOL_FLAGS or i + 1 >= len(rest):
+                flags[name] = ""
+                i += 1
+            else:
+                flags[name] = rest[i + 1]
+                i += 2
         else:
+            pos.append(rest[i])
             i += 1
 
     if verb == "train":
