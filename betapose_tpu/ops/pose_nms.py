@@ -49,10 +49,13 @@ def _parametric_distance(pick, preds, scores, ref_dist, delta2=DELTA2):
 
 
 def _pck_match(pick_pred, preds, ref_dist):
-    """`PCK_match` (`pPose_nms.py:271-281`)."""
+    """`PCK_match` (`pPose_nms.py:271-281`).  A degenerate zero-size box
+    gives ref == 0; numpy's inf/nan comparison semantics then match the
+    reference's behavior exactly — just don't warn about it."""
     dist = np.sqrt(np.sum((pick_pred[None] - preds) ** 2, axis=2))
     ref = min(ref_dist, 7)
-    return np.sum(dist / ref <= 1, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.sum(dist / ref <= 1, axis=1)
 
 
 def _merge_fast(ref_pose, cluster_preds, cluster_scores, ref_dist):

@@ -249,22 +249,19 @@ def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=1500,
     kp3d = np.concatenate([corners, centers, np.asarray(edge_mids)])[:n_kp]
 
     # ---- stage 2: render + annotate ----
-    frames, poses, bboxes, parts, viss = [], [], [], [], []
+    frames, poses, bboxes, parts = [], [], [], []
     for i in range(n_frames + n_eval):
         occ = occluder if occlusion and (i >= n_frames
                                          or rng.random() < 0.5) else None
-        frame, pose, bbox, kp_vis = make_scene(
-            rng, model, z_range, occluder=occ, kp3d=kp3d)
+        frame, pose, bbox = make_scene(rng, model, z_range, occluder=occ)
         _, kp_img = annotate_frame(pose, bbox, model.vertices, kp3d, CAM_K)
         frames.append(frame)
         poses.append(pose)
         bboxes.append(bbox)
         parts.append(kp_img)
-        viss.append(kp_vis)
     frames = np.stack(frames)
     bboxes_np = np.asarray(bboxes, np.float32)
     parts_np = np.stack(parts).astype(np.float32)
-    viss_np = np.stack(viss).astype(np.float32)
     if verbose:
         print(f"rendered {len(frames)} scenes")
 
@@ -363,13 +360,20 @@ def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=1500,
         imgs01 = jnp.asarray(frames[:n_frames].astype(np.float32) / 255.0)
         key = jax.random.PRNGKey(2)
         t0 = time.time()
+        # NOTE: kp_vis (occlusion-aware zero targets) is deliberately NOT
+        # used here — measured on the occlusion tier it HURT (ADD<0.1d
+        # 0.25 vs 0.62): for a rigid object the network hallucinates
+        # occluded keypoints consistently from visible context, and those
+        # hallucinations are good PnP correspondences, while zero-target
+        # suppression leaves garbage argmax positions among the pruned
+        # survivors.  The mechanism stays available in train/augment.py
+        # (the reference's setMask capability) for non-rigid uses.
         for it in range(kpd_iters):
             sel = rng.integers(0, n_frames, kpd_batch)
             key, k1 = jax.random.split(key)
             batch = augment_batch(k1, imgs01[sel],
                                   jnp.asarray(bboxes_np[sel]),
-                                  jnp.asarray(parts_np[sel]), aug_cfg,
-                                  kp_vis=viss_np[sel])
+                                  jnp.asarray(parts_np[sel]), aug_cfg)
             kparams, kopt, km = kstep(kparams, kopt, batch)
         if verbose:
             print(f"kpd trained {kpd_iters} iters "
@@ -389,8 +393,7 @@ def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=1500,
                 key, k1 = jax.random.split(key)
                 batch = augment_batch(k1, imgs01[sel],
                                       jnp.asarray(bboxes_np[sel]),
-                                      jnp.asarray(parts_np[sel]), aug_cfg,
-                                      kp_vis=viss_np[sel])
+                                      jnp.asarray(parts_np[sel]), aug_cfg)
                 kparams, kopt2, km = kstep2(kparams, kopt2, batch)
             if verbose:
                 print(f"kpd finetuned {kpd_finetune_iters} iters @1e-4 "

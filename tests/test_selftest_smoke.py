@@ -52,3 +52,23 @@ def test_selftest_occlusion_tier_smoke():
                          left_keypoints=6, verbose=False)
     assert stats["n_eval"] == 2
     assert np.isfinite(stats["diameter_m"])
+
+
+def test_make_scene_keypoint_visibility():
+    """make_scene(kp3d=...) reports which keypoints the occluder hides
+    (z-test at the projected pixel) — all-visible without an occluder."""
+    from betapose_tpu.tools.selftest import (make_scene, CubeModel,
+                                             distractor_model)
+    model = CubeModel()
+    h = model.half
+    kp3d = np.array([[x, y, z] for x in (-h, h) for y in (-h, h)
+                     for z in (-h, h)])
+    *_, vis_clean = make_scene(np.random.default_rng(5), model, kp3d=kp3d)
+    assert vis_clean.shape == (8,) and vis_clean.min() == 1.0
+    hidden_any = False
+    for seed in range(12):
+        *_, vis = make_scene(np.random.default_rng(seed), model,
+                             occluder=distractor_model(), kp3d=kp3d)
+        assert set(np.unique(vis)) <= {0.0, 1.0}
+        hidden_any = hidden_any or (vis == 0).any()
+    assert hidden_any  # across seeds the occluder hides at least one kp
