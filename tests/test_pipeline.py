@@ -112,6 +112,35 @@ class TestFusedSmoke:
         # and it is a real change, not a no-op
         assert not np.allclose(np.asarray(tta), np.asarray(plain))
 
+    def test_pnp_score_power_is_live_both_modes(self):
+        """pnp_score_power must reach the PnP stage in BOTH post-stage
+        modes (capacity-1 and fused multi-candidate): keypoints/scores are
+        untouched, the solved pose changes (weighted DLT/LM)."""
+        import dataclasses as dc
+        spec = yolo_mod.build_spec(TINY_YOLO_CFG)
+        yolo_params = yolo_mod.fold_bn(
+            spec, yolo_mod.init_params(jax.random.PRNGKey(0), spec))
+        kpd_params = kpd_mod.init_params(jax.random.PRNGKey(1), n_classes=6,
+                                         arch="resnet50")
+        kp3d = np.random.default_rng(0).standard_normal((6, 3)) * 0.05
+        frames = np.random.default_rng(1).integers(
+            0, 255, (2, 120, 160, 3), dtype=np.uint8)
+        for cap in (1, 3):
+            cfg = PipelineConfig(reso=96, inp_h=64, inp_w=48, out_h=16,
+                                 out_w=12, n_kp=6, confidence=0.0,
+                                 left_keypoints=6, compute_dtype="float32",
+                                 det_capacity=cap, pnp_robust_rounds=1)
+            plain = PosePipeline(spec, yolo_params, kpd_params, kp3d,
+                                 CAM_K, cfg)(frames)
+            wcfg = dc.replace(cfg, pnp_score_power=4.0)
+            weighted = PosePipeline(spec, yolo_params, kpd_params, kp3d,
+                                    CAM_K, wcfg)(frames)
+            np.testing.assert_array_equal(np.asarray(plain["keypoints"]),
+                                          np.asarray(weighted["keypoints"]))
+            assert np.all(np.isfinite(np.asarray(weighted["cam_R"])))
+            assert not np.allclose(np.asarray(plain["cam_R"]),
+                                   np.asarray(weighted["cam_R"]))
+
     def test_run_batches_pipelining(self):
         spec = yolo_mod.build_spec(TINY_YOLO_CFG)
         yolo_params = yolo_mod.fold_bn(

@@ -168,3 +168,59 @@ class TestRobustPnP:
         pa = p3 @ np.asarray(R1).T + np.asarray(t1)
         pb = p3 @ np.asarray(R2).T + np.asarray(t2)
         assert float(np.mean(np.linalg.norm(pa - pb, axis=1))) < 1e-4
+
+    def test_weight_ones_matches_unweighted(self):
+        """w=ones must be bit-for-bit the unweighted path (the internals
+        substitute ones for w=None), so turning pnp_score_power on with
+        flat scores cannot change results."""
+        from betapose_tpu.ops import pnp as pnp_ops
+        rng = np.random.default_rng(5)
+        K = np.array([[572.4, 0, 325.3], [0, 573.6, 242.0], [0, 0, 1.0]])
+        p3 = rng.standard_normal((26, 3)) * 0.05
+        q, _ = np.linalg.qr(rng.standard_normal((3, 3)))
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1
+        t = np.array([0.01, 0.02, 0.6])
+        pc = p3 @ q.T + t
+        uv = (K @ pc.T).T
+        uv = uv[:, :2] / uv[:, 2:3]
+        uv += rng.standard_normal(uv.shape) * 2.0
+        R1, t1 = pnp_ops.solve_pnp_robust(
+            np.asarray(p3), np.asarray(uv), np.asarray(K), rounds=2)
+        R2, t2 = pnp_ops.solve_pnp_robust(
+            np.asarray(p3), np.asarray(uv), np.asarray(K), rounds=2,
+            w=np.ones(26, np.float32))
+        np.testing.assert_allclose(np.asarray(R1), np.asarray(R2), atol=0)
+        np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=0)
+
+    def test_score_weighted_survives_heavy_outliers(self):
+        """Confidence weighting (w = score**4, the occlusion-tier recipe):
+        when 9/26 points are grossly wrong — more than the keep=0.7
+        quantile trim can drop — low scores on the bad points still rescue
+        the pose, because the weighted DLT/LM never lets them dominate."""
+        from betapose_tpu.ops import pnp as pnp_ops
+        rng = np.random.default_rng(6)
+        K = np.array([[572.4, 0, 325.3], [0, 573.6, 242.0], [0, 0, 1.0]])
+        n_fail = 0
+        for _ in range(5):
+            p3 = rng.standard_normal((26, 3)) * 0.04
+            q, _ = np.linalg.qr(rng.standard_normal((3, 3)))
+            if np.linalg.det(q) < 0:
+                q[:, 0] *= -1
+            t = np.array([0.02, -0.03, 0.55])
+            pc = p3 @ q.T + t
+            uv = (K @ pc.T).T
+            uv = uv[:, :2] / uv[:, 2:3]
+            uv += rng.standard_normal(uv.shape) * 1.0
+            bad = rng.choice(26, 9, replace=False)
+            uv[bad] += rng.standard_normal((9, 2)) * 80.0
+            score = rng.uniform(0.7, 1.0, 26).astype(np.float32)
+            score[bad] = rng.uniform(0.05, 0.25, 9)  # detector confidence
+            Rw, tw = pnp_ops.solve_pnp_robust(
+                np.asarray(p3), np.asarray(uv), np.asarray(K), rounds=2,
+                w=score ** 4)
+            pa = p3 @ q.T + t
+            pb = p3 @ np.asarray(Rw).T + np.asarray(tw)
+            add_mm = float(np.mean(np.linalg.norm(pa - pb, axis=1))) * 1000
+            n_fail += add_mm > 10.0
+        assert n_fail == 0
