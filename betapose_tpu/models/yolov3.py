@@ -34,7 +34,8 @@ from betapose_tpu.models.darknet_cfg import parse_cfg
 class LayerSpec:
     kind: str                   # conv | shortcut | route | upsample | maxpool
     #                           # | yolo | avgpool | softmax | dropout | cost
-    #                           # | connected
+    #                           # | connected | crop | normalization | local
+    #                           # | rnn | crnn | gru
     out_channels: int
     # conv
     size: int = 0
@@ -58,6 +59,22 @@ class LayerSpec:
     coords: int = 4
     det_softmax: bool = False   # per-cell softmax over classes
     det_sqrt: bool = False      # w,h predicted as sqrt
+    # crop (crop_layer.c; inference = deterministic center crop)
+    crop_h: int = 0
+    crop_w: int = 0
+    noadjust: bool = False      # skip the x*2-1 range shift
+    # normalization (LRN, normalization_layer.c)
+    lrn_alpha: float = 1e-4
+    lrn_beta: float = 0.75
+    lrn_kappa: float = 1.0
+    # local (locally-connected conv, local_layer.c); out dims are static
+    loc_h: int = 0
+    loc_w: int = 0
+    # recurrent family (rnn/crnn/gru_layer.c); steps = net time_steps
+    hidden: int = 0             # rnn hidden size / crnn hidden_filters
+    steps: int = 1
+    rnn_shortcut: bool = False  # state += old state instead of reset
+    rnn_logistic: int = 0       # self-layer activation: 1=LOGISTIC 2=LOGGY
 
 
 @dataclasses.dataclass(frozen=True)
@@ -174,6 +191,107 @@ def build_spec(cfg) -> NetworkSpec:
             layers.append(LayerSpec("dropout", cin))
             out_channels.append(cin)
             dims.append((cur_h, cur_w))
+        elif t == "crop":
+            # parser.c parse_crop:401-423 / crop_layer.c forward:67-103.
+            # Inference semantics: deterministic center crop
+            # (dh=(h-out_h)/2, dw=(w-out_w)/2, no flip), then the range
+            # shift x*2-1 unless noadjust.  The train-mode random
+            # crop/flip/HSV is data augmentation and lives in the
+            # training pipelines (train/yolo_train.py), not the graph.
+            ch = int(b.get("crop_height", 1))
+            cw = int(b.get("crop_width", 1))
+            layers.append(LayerSpec(
+                "crop", cin, crop_h=ch, crop_w=cw,
+                noadjust=int(b.get("noadjust", 0)) != 0))
+            out_channels.append(cin)
+            dims.append((ch, cw))
+        elif t == "normalization":
+            # LRN (parser.c parse_normalization:498-506)
+            layers.append(LayerSpec(
+                "normalization", cin, size=int(b.get("size", 5)),
+                lrn_alpha=float(b.get("alpha", 1e-4)),
+                lrn_beta=float(b.get("beta", 0.75)),
+                lrn_kappa=float(b.get("kappa", 1.0))))
+            out_channels.append(cin)
+            dims.append((cur_h, cur_w))
+        elif t == "local":
+            # locally-connected conv (parser.c parse_local:124-144,
+            # local_layer.c).  darknet's `pad` here is the RAW 0/1 flag
+            # passed straight to im2col as a pixel count, while the output
+            # dims come from local_out_height: (h-1)/stride+1 when pad
+            # else (h-size)/stride+1 — the two only agree for pad=0 (any
+            # size) or pad=1 with size=3; anything else writes garbage in
+            # darknet itself, so reject it.
+            filters = int(b.get("filters", 1))
+            size = int(b.get("size", 1))
+            stride = int(b.get("stride", 1))
+            pad = int(b.get("pad", 0))
+            if cur_h is None or cur_w is None:
+                raise ValueError(
+                    "[local] layer needs width/height in the [net] block "
+                    "to size its per-location weights statically")
+            out_h = ((cur_h - 1) // stride + 1 if pad
+                     else (cur_h - size) // stride + 1)
+            out_w = ((cur_w - 1) // stride + 1 if pad
+                     else (cur_w - size) // stride + 1)
+            if ((cur_h + 2 * pad - size) // stride + 1 != out_h
+                    or (cur_w + 2 * pad - size) // stride + 1 != out_w):
+                raise ValueError(
+                    f"[local] size={size} pad={pad} is internally "
+                    "inconsistent in darknet (local_out_height vs im2col); "
+                    "only pad=0, or pad=1 with size=3, are coherent")
+            layers.append(LayerSpec(
+                "local", filters, size=size, stride=stride, pad=pad,
+                activation=b.get("activation", "logistic"),
+                in_channels=cin, loc_h=out_h, loc_w=out_w))
+            out_channels.append(filters)
+            dims.append((out_h, out_w))
+        elif t == "rnn":
+            # parser.c parse_rnn:196-210 / rnn_layer.c: three [connected]
+            # sublayers (input, self, output); time axis rides the leading
+            # batch dim step-major (batch = rows/time_steps)
+            if cur_h is None or cur_w is None:
+                raise ValueError(
+                    "[rnn] layer needs width/height in the [net] block")
+            layers.append(LayerSpec(
+                "rnn", int(b.get("output", 1)),
+                hidden=int(b.get("hidden", 1)),
+                activation=b.get("activation", "logistic"),
+                batch_normalize=int(b.get("batch_normalize", 0)) != 0,
+                rnn_logistic=int(b.get("logistic", 0)),
+                rnn_shortcut=int(b.get("shortcut", 0)) != 0,
+                in_features=cur_h * cur_w * cin,
+                steps=max(int(net_info.get("time_steps", 1)), 1)))
+            out_channels.append(int(b.get("output", 1)))
+            dims.append((1, 1))
+        elif t == "crnn":
+            # parser.c parse_crnn:181-194 / crnn_layer.c: three 3x3/s1/p1
+            # conv sublayers (input c->hidden, self hidden->hidden, output
+            # hidden->output_filters), recurrent over hidden feature maps
+            layers.append(LayerSpec(
+                "crnn", int(b.get("output_filters", 1)),
+                hidden=int(b.get("hidden_filters", 1)),
+                activation=b.get("activation", "logistic"),
+                batch_normalize=int(b.get("batch_normalize", 0)) != 0,
+                rnn_shortcut=int(b.get("shortcut", 0)) != 0,
+                in_channels=cin,
+                steps=max(int(net_info.get("time_steps", 1)), 1)))
+            out_channels.append(int(b.get("output_filters", 1)))
+            dims.append((cur_h, cur_w))
+        elif t == "gru":
+            # parser.c parse_gru:212-220 / gru_layer.c: six LINEAR
+            # [connected] sublayers; gates get their sigmoids after the
+            # input+state sums (darknet's nonstandard GRU variant)
+            if cur_h is None or cur_w is None:
+                raise ValueError(
+                    "[gru] layer needs width/height in the [net] block")
+            layers.append(LayerSpec(
+                "gru", int(b.get("output", 1)),
+                batch_normalize=int(b.get("batch_normalize", 0)) != 0,
+                in_features=cur_h * cur_w * cin,
+                steps=max(int(net_info.get("time_steps", 1)), 1)))
+            out_channels.append(int(b.get("output", 1)))
+            dims.append((1, 1))
         elif t == "softmax":
             layers.append(LayerSpec("softmax", cin))
             out_channels.append(cin)
@@ -239,7 +357,8 @@ def build_spec(cfg) -> NetworkSpec:
             raise ValueError(
                 f"unsupported block type: {t} (supported: convolutional,"
                 " shortcut, route, upsample, maxpool, avgpool, connected,"
-                " dropout, softmax, cost, reorg, region, yolo, detection)")
+                " dropout, softmax, cost, reorg, region, yolo, detection,"
+                " crop, normalization, local, rnn, crnn, gru)")
     return NetworkSpec(tuple(layers), frozenset(needed), net_info)
 
 
@@ -254,39 +373,98 @@ def _bn_init_params(c, dtype):
             "bn_var": jnp.ones((c,), dtype)}
 
 
+def _init_conv_p(key, in_c, out_c, size, bn, dtype):
+    fan_in = in_c * size * size
+    w = jax.random.normal(
+        key, (size, size, in_c, out_c), dtype) * jnp.sqrt(2.0 / fan_in)
+    p = {"w": w}
+    if bn:
+        p.update(_bn_init_params(out_c, dtype))
+    else:
+        p["b"] = jnp.zeros((out_c,), dtype)
+    return p
+
+
+def _init_connected_p(key, in_f, out, bn, dtype):
+    # connected_layer.c: scale = sqrt(2./inputs)
+    w = jax.random.normal(key, (in_f, out), dtype) * jnp.sqrt(2.0 / in_f)
+    p = {"w": w}
+    if bn:
+        # the on-disk bias array is BN's beta (forward_batchnorm_layer
+        # applies scales then biases) — no separate bias
+        p.update(_bn_init_params(out, dtype))
+    else:
+        p["b"] = jnp.zeros((out,), dtype)
+    return p
+
+
 def init_params(key, spec: NetworkSpec, dtype=jnp.float32):
     """He-style init for convs; BN starts at identity."""
     params = []
     for l in spec.layers:
         if l.kind == "conv":
             key, k1 = jax.random.split(key)
-            fan_in = l.in_channels * l.size * l.size
-            w = jax.random.normal(
-                k1, (l.size, l.size, l.in_channels, l.out_channels), dtype
-            ) * jnp.sqrt(2.0 / fan_in)
-            p = {"w": w}
-            if l.batch_normalize:
-                p.update(_bn_init_params(l.out_channels, dtype))
-            else:
-                p["b"] = jnp.zeros((l.out_channels,), dtype)
-            params.append(p)
+            params.append(_init_conv_p(
+                k1, l.in_channels, l.out_channels, l.size,
+                l.batch_normalize, dtype))
         elif l.kind == "connected":
             key, k1 = jax.random.split(key)
-            # connected_layer.c: scale = sqrt(2./inputs)
-            w = jax.random.normal(
-                k1, (l.in_features, l.out_channels), dtype
-            ) * jnp.sqrt(2.0 / l.in_features)
-            p = {"w": w}
-            if l.batch_normalize:
-                # the on-disk bias array is BN's beta (forward_batchnorm_layer
-                # applies scales then biases) — no separate bias
-                p.update(_bn_init_params(l.out_channels, dtype))
-            else:
-                p["b"] = jnp.zeros((l.out_channels,), dtype)
-            params.append(p)
+            params.append(_init_connected_p(
+                k1, l.in_features, l.out_channels, l.batch_normalize, dtype))
+        elif l.kind == "local":
+            # local_layer.c: scale = sqrt(2./(size*size*c)), uniform(-1,1)
+            # (darknet only fills the first location block and leaves the
+            # rest zero — an init bug, not a contract; all locations get
+            # the same distribution here)
+            key, k1 = jax.random.split(key)
+            k = l.size * l.size * l.in_channels
+            locations = l.loc_h * l.loc_w
+            w = jax.random.uniform(
+                k1, (locations, l.out_channels, k), dtype,
+                minval=-1.0, maxval=1.0) * jnp.sqrt(2.0 / k)
+            params.append({
+                "w": w,
+                # bias layout [n, locations] channel-major (the on-disk
+                # `outputs`-long array, local_layer.c forward copy_cpu)
+                "b": jnp.zeros((l.out_channels, locations), dtype)})
+        elif l.kind == "rnn":
+            key, k1, k2, k3 = jax.random.split(key, 4)
+            params.append({
+                "input": _init_connected_p(
+                    k1, l.in_features, l.hidden, l.batch_normalize, dtype),
+                "self": _init_connected_p(
+                    k2, l.hidden, l.hidden, l.batch_normalize, dtype),
+                "output": _init_connected_p(
+                    k3, l.hidden, l.out_channels, l.batch_normalize, dtype)})
+        elif l.kind == "crnn":
+            key, k1, k2, k3 = jax.random.split(key, 4)
+            params.append({
+                "input": _init_conv_p(
+                    k1, l.in_channels, l.hidden, 3, l.batch_normalize,
+                    dtype),
+                "self": _init_conv_p(
+                    k2, l.hidden, l.hidden, 3, l.batch_normalize, dtype),
+                "output": _init_conv_p(
+                    k3, l.hidden, l.out_channels, 3, l.batch_normalize,
+                    dtype)})
+        elif l.kind == "gru":
+            keys = jax.random.split(key, 7)
+            key = keys[0]
+            out = l.out_channels
+            ins = (l.in_features, l.in_features, l.in_features,
+                   out, out, out)
+            params.append({
+                name: _init_connected_p(
+                    kk, in_f, out, l.batch_normalize, dtype)
+                for name, kk, in_f in zip(_GRU_SUBLAYERS, keys[1:], ins)})
         else:
             params.append({})
     return params
+
+
+# disk order: parser.c save/load order for GRU sublayers (parser.c:994-1000)
+_GRU_SUBLAYERS = ("input_z", "input_r", "input_h",
+                  "state_z", "state_r", "state_h")
 
 
 BN_EPS = 1e-5  # torch BatchNorm2d default, matches reference inference
@@ -355,82 +533,109 @@ def load_darknet_weights(spec: NetworkSpec, path, dtype=jnp.float32,
         ptr += n
         return out
 
-    for li, l in enumerate(spec.layers):
-        if l.kind == "connected":
-            # parser.c load_connected_weights: biases, weights [out, in]
-            # row-major, then (if BN) scales, rolling_mean, rolling_var
-            if exhausted:
-                params.append(init[li])
-                continue
-            c = l.out_channels
-            vals, ok = {}, True
-            for name, n in (("b", c), ("w_oi", c * l.in_features)):
-                v = take(n)
+    def read_connected(out_c, in_f, bn):
+        # parser.c load_connected_weights: biases, weights [out, in]
+        # row-major, then (if BN) scales, rolling_mean, rolling_var
+        b_ = take(out_c)
+        w_ = None if b_ is None else take(out_c * in_f)
+        if w_ is None:
+            return None
+        p = {"b": jnp.asarray(b_, dtype),
+             "w": jnp.asarray(w_.reshape(out_c, in_f).T, dtype)}
+        if bn:
+            for k in ("bn_scale", "bn_mean", "bn_var"):
+                v = take(out_c)
                 if v is None:
-                    ok = False
-                    break
-                vals[name] = v
-            if ok and l.batch_normalize:
-                for k in ("bn_scale", "bn_mean", "bn_var"):
-                    v = take(c)
-                    if v is None:
-                        ok = False
-                        break
-                    vals[k] = v
-            if not ok:
-                params.append(init[li])
-                continue
-            p = {"b": jnp.asarray(vals.pop("b"), dtype),
-                 "w": jnp.asarray(
-                     vals.pop("w_oi").reshape(c, l.in_features).T, dtype)}
-            for k, v in vals.items():
+                    return None
                 p[k] = jnp.asarray(v, dtype)
-            if l.batch_normalize:
-                # connected BN has no separate beta on disk; the bias slot
-                # plays that role (connected_layer.c uses biases as beta)
-                p["bn_bias"] = p.pop("b")
-            params.append(p)
-            continue
-        if l.kind != "conv":
+            # connected BN has no separate beta on disk; the bias slot
+            # plays that role (connected_layer.c uses biases as beta)
+            p["bn_bias"] = p.pop("b")
+        return p
+
+    def read_conv(out_c, in_c, size, bn):
+        # load_convolutional_weights: biases (or the 4 BN arrays), then
+        # OIHW weights
+        p = {}
+        for k in (("bn_bias", "bn_scale", "bn_mean", "bn_var")
+                  if bn else ("b",)):
+            v = take(out_c)
+            if v is None:
+                return None
+            p[k] = jnp.asarray(v, dtype)
+        w = take(out_c * in_c * size * size)
+        if w is None:
+            return None
+        w = w.reshape(out_c, in_c, size, size)
+        p["w"] = jnp.asarray(np.transpose(w, (2, 3, 1, 0)), dtype)
+        return p
+
+    def read_subs(reader, shapes, bn):
+        subs = {}
+        for name, args in shapes:
+            sp = reader(*args, bn)
+            if sp is None:
+                return None
+            subs[name] = sp
+        return subs
+
+    for li, l in enumerate(spec.layers):
+        if l.kind not in _PARAM_KINDS:
             params.append({})
             continue
         if exhausted:
             params.append(init[li])
             continue
-        c = l.out_channels
-        p = {}
-        vals = {}
-        ok = True
-        if l.batch_normalize:
-            for k in ("bn_bias", "bn_scale", "bn_mean", "bn_var"):
-                v = take(c)
-                if v is None:
-                    ok = False
-                    break
-                vals[k] = v
-        else:
-            v = take(c)
-            if v is None:
-                ok = False
-            else:
-                vals["b"] = v
-        if ok:
-            n_w = c * l.in_channels * l.size * l.size
-            w = take(n_w)
-            if w is None:
-                ok = False
-            else:
-                vals["w_oihw"] = w.reshape(c, l.in_channels, l.size, l.size)
-        if not ok:
-            params.append(init[li])
-            continue
-        for k, v in vals.items():
-            if k == "w_oihw":
-                p["w"] = jnp.asarray(np.transpose(v, (2, 3, 1, 0)), dtype)
-            else:
-                p[k] = jnp.asarray(v, dtype)
-        params.append(p)
+        if l.kind == "conv":
+            p = read_conv(l.out_channels, l.in_channels, l.size,
+                          l.batch_normalize)
+        elif l.kind == "connected":
+            p = read_connected(l.out_channels, l.in_features,
+                               l.batch_normalize)
+        elif l.kind == "local":
+            # save_weights_upto LOCAL branch (parser.c:1005-1014): biases
+            # (n*locations, channel-major), then weights location-major
+            # [locations, n, k] (forward addresses weights+j*k*n as an
+            # [n, k] row-major block per location j, local_layer.c:108)
+            locations = l.loc_h * l.loc_w
+            k = l.size * l.size * l.in_channels
+            b_ = take(l.out_channels * locations)
+            w_ = (None if b_ is None
+                  else take(locations * l.out_channels * k))
+            p = None if w_ is None else {
+                "b": jnp.asarray(
+                    b_.reshape(l.out_channels, locations), dtype),
+                "w": jnp.asarray(
+                    w_.reshape(locations, l.out_channels, k), dtype)}
+        elif l.kind == "rnn":
+            # parser.c:990-993: input, self, output connected sublayers
+            p = read_subs(read_connected,
+                          (("input", (l.hidden, l.in_features)),
+                           ("self", (l.hidden, l.hidden)),
+                           ("output", (l.out_channels, l.hidden))),
+                          l.batch_normalize)
+        elif l.kind == "crnn":
+            # parser.c:1001-1004: input, self, output 3x3 conv sublayers
+            p = read_subs(read_conv,
+                          (("input", (l.hidden, l.in_channels, 3)),
+                           ("self", (l.hidden, l.hidden, 3)),
+                           ("output", (l.out_channels, l.hidden, 3))),
+                          l.batch_normalize)
+        elif l.kind == "gru":
+            # parser.c:994-1000 order (input_z/r/h then state_z/r/h)
+            p = read_subs(
+                read_connected,
+                tuple((name,
+                       (l.out_channels,
+                        l.in_features if name.startswith("input")
+                        else l.out_channels))
+                      for name in _GRU_SUBLAYERS),
+                l.batch_normalize)
+        params.append(init[li] if p is None else p)
     return params, header
+
+
+_PARAM_KINDS = ("conv", "connected", "local", "rnn", "crnn", "gru")
 
 
 BN_ROLLING_MOMENTUM = 0.01  # darknet: rolling = .99*rolling + .01*batch
@@ -459,32 +664,50 @@ def save_partial_weights(spec: NetworkSpec, params, path, cutoff: int,
 
 
 def save_darknet_weights(spec: NetworkSpec, params, path, seen: int = 0):
-    """Write params in the exact darknet .weights layout (header then floats)."""
+    """Write params in the exact darknet .weights layout (header then floats).
+
+    Layer order/layouts mirror `parser.c save_weights_upto:962-1019`:
+    conv = save_convolutional_weights, connected = save_connected_weights,
+    rnn = 3 connected sublayers, gru = 6 (input_z/r/h, state_z/r/h),
+    crnn = 3 conv sublayers, local = biases then location-major weights."""
     buf = io.BytesIO()
     buf.write(np.array([0, 1, 0, seen], dtype=np.int32).tobytes())
+
+    def w32(a):
+        buf.write(np.ascontiguousarray(a, dtype=np.float32).tobytes())
+
+    def write_connected(p, bn):
+        # save_connected_weights: biases, weights [out, in], then BN
+        # scales/rolling_mean/rolling_var
+        w32(p["bn_bias"] if bn else p["b"])
+        w32(np.asarray(p["w"], dtype=np.float32).T)
+        if bn:
+            for k in ("bn_scale", "bn_mean", "bn_var"):
+                w32(p[k])
+
+    def write_conv(p, bn):
+        for k in (("bn_bias", "bn_scale", "bn_mean", "bn_var")
+                  if bn else ("b",)):
+            w32(p[k])
+        w32(np.transpose(np.asarray(p["w"], dtype=np.float32), (3, 2, 0, 1)))
+
     for l, p in zip(spec.layers, params):
         if l.kind == "connected":
-            # save_connected_weights: biases, weights [out, in], then BN
-            # scales/rolling_mean/rolling_var
-            bias = p["bn_bias"] if l.batch_normalize else p["b"]
-            buf.write(np.ascontiguousarray(bias, dtype=np.float32).tobytes())
-            w_oi = np.asarray(p["w"], dtype=np.float32).T
-            buf.write(np.ascontiguousarray(w_oi).tobytes())
-            if l.batch_normalize:
-                for k in ("bn_scale", "bn_mean", "bn_var"):
-                    buf.write(np.ascontiguousarray(
-                        p[k], dtype=np.float32).tobytes())
-            continue
-        if l.kind != "conv":
-            continue
-        if l.batch_normalize:
-            for k in ("bn_bias", "bn_scale", "bn_mean", "bn_var"):
-                buf.write(np.ascontiguousarray(p[k], dtype=np.float32).tobytes())
-        else:
-            buf.write(np.ascontiguousarray(p["b"], dtype=np.float32).tobytes())
-        w_oihw = np.transpose(np.asarray(p["w"], dtype=np.float32),
-                              (3, 2, 0, 1))
-        buf.write(np.ascontiguousarray(w_oihw).tobytes())
+            write_connected(p, l.batch_normalize)
+        elif l.kind == "conv":
+            write_conv(p, l.batch_normalize)
+        elif l.kind == "local":
+            w32(p["b"])
+            w32(p["w"])
+        elif l.kind == "rnn":
+            for name in ("input", "self", "output"):
+                write_connected(p[name], l.batch_normalize)
+        elif l.kind == "crnn":
+            for name in ("input", "self", "output"):
+                write_conv(p[name], l.batch_normalize)
+        elif l.kind == "gru":
+            for name in _GRU_SUBLAYERS:
+                write_connected(p[name], l.batch_normalize)
     with open(path, "wb") as f:
         f.write(buf.getvalue())
 
@@ -529,18 +752,28 @@ def _activate(y, activation):
         return jax.nn.relu(y)
     if activation == "logistic":
         return jax.nn.sigmoid(y)
+    if activation == "loggy":
+        # activations.h LOGGY: 2/(1+exp(-x)) - 1
+        return 2.0 * jax.nn.sigmoid(y) - 1.0
+    if activation == "tanh":
+        return jnp.tanh(y)
     return y  # linear
 
 
-def _connected_layer(l: LayerSpec, p, x, train=False, bn_stats=None,
-                     path=None):
-    """Fully-connected layer (connected_layer.c): flatten -> matmul ->
-    BN (batch stats in training, running stats at inference; the bias array
-    is BN's beta) or bias -> activation.  Returns [B, 1, 1, out]."""
+def _flatten_chw(x):
+    """Flatten NHWC -> [B, C*H*W] in darknet's CHW memory order — the
+    index convention every darknet flat consumer ([connected] weights,
+    rnn/gru inputs, [detection] layout) was trained/saved under."""
     b = x.shape[0]
-    xf = x.reshape(b, -1).astype(jnp.float32)
-    y = xf @ p["w"].astype(jnp.float32)
-    if l.batch_normalize and "bn_scale" in p:
+    return x.transpose(0, 3, 1, 2).reshape(b, -1)
+
+
+def _dense(p, x2d, activation, bn, train=False, bn_stats=None, path=None):
+    """connected_layer.c core on an already-flat [B, in] input: matmul ->
+    BN (batch stats in training, running stats at inference; the bias array
+    is BN's beta) or bias -> activation.  Returns [B, out] float32."""
+    y = x2d.astype(jnp.float32) @ p["w"].astype(jnp.float32)
+    if bn and "bn_scale" in p:
         if train:
             mean = jnp.mean(y, axis=0)
             var = jnp.var(y, axis=0)
@@ -553,8 +786,172 @@ def _connected_layer(l: LayerSpec, p, x, train=False, bn_stats=None,
             y = y * scale + (p["bn_bias"] - p["bn_mean"] * scale)
     else:
         y = y + p["b"]
-    y = _activate(y, l.activation)
+    return _activate(y, activation)
+
+
+def _connected_layer(l: LayerSpec, p, x, train=False, bn_stats=None,
+                     path=None):
+    """Fully-connected layer (connected_layer.c): CHW flatten (darknet's
+    memory order — NOT the NHWC raveling; they differ whenever the input
+    still has spatial extent) -> matmul -> BN/bias -> activation.
+    Returns [B, 1, 1, out]."""
+    b = x.shape[0]
+    y = _dense(p, _flatten_chw(x), l.activation, l.batch_normalize,
+               train=train, bn_stats=bn_stats, path=path)
     return y.reshape(b, 1, 1, l.out_channels).astype(x.dtype)
+
+
+def _crop_layer(l: LayerSpec, x):
+    """crop_layer.c forward, inference branch (crop_layer.c:67-103):
+    deterministic center crop dh=(h-out_h)/2, dw=(w-out_w)/2 (C integer
+    division), no flip, then the range shift x*2-1 unless noadjust.
+    The train-mode random crop/flip lives in the training pipelines."""
+    _, h, w, _ = x.shape
+    if l.crop_h > h or l.crop_w > w:
+        raise ValueError(
+            f"[crop] {l.crop_h}x{l.crop_w} exceeds input {h}x{w} "
+            "(darknet's rand%(h-out_h+1) requires out <= in)")
+    dh = (h - l.crop_h) // 2
+    dw = (w - l.crop_w) // 2
+    y = x[:, dh:dh + l.crop_h, dw:dw + l.crop_w, :]
+    if not l.noadjust:
+        y = y * 2.0 - 1.0
+    return y
+
+
+def _lrn_layer(l: LayerSpec, x):
+    """Local Response Normalization (normalization_layer.c:65-94),
+    including darknet's init quirk: the channel-0 seed loop sums squared
+    channels [0, size/2) — one short of the clipped window [0, size/2] —
+    and the rolling update then propagates that deficit to every channel,
+    so norms[k] = kappa + alpha*(clipped_window_sum_k - squared[size/2])
+    for ALL k.  out = in * norms^(-beta)."""
+    c = x.shape[-1]
+    half_lo = (l.size - 1) // 2
+    half_hi = l.size // 2
+    if half_hi >= c:
+        raise ValueError(
+            f"[normalization] size={l.size} with only {c} channels reads "
+            "out of bounds in darknet's seed loop (undefined behavior)")
+    xf = x.astype(jnp.float32)
+    sq = xf * xf
+    win = sq
+    for d in range(-half_lo, half_hi + 1):
+        if d < 0:
+            win = win.at[..., -d:].add(sq[..., :d])
+        elif d > 0:
+            win = win.at[..., :-d].add(sq[..., d:])
+    norms = l.lrn_kappa + l.lrn_alpha * (win - sq[..., half_hi:half_hi + 1])
+    return (xf * norms ** (-l.lrn_beta)).astype(x.dtype)
+
+
+def _local_layer(l: LayerSpec, p, x):
+    """Locally-connected conv (local_layer.c forward:91-119): im2col
+    patches (channel-major k index = (c*size+ky)*size+kx, zero pad) hit a
+    DIFFERENT [n, k] weight matrix per output location; biases are per
+    (channel, location).  Expressed as one batched einsum over locations —
+    on TPU this is a single large contraction, not darknet's per-location
+    1-column GEMM loop."""
+    b = x.shape[0]
+    patches = jax.lax.conv_general_dilated_patches(
+        x.astype(jnp.float32), (l.size, l.size), (l.stride, l.stride),
+        padding=((l.pad, l.pad), (l.pad, l.pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    # feature dim ordering is (c, ky, kx) with c slowest — same index
+    # convention as darknet's im2col rows (im2col.c:25-28)
+    k = l.size * l.size * l.in_channels
+    pk = patches.reshape(b, l.loc_h * l.loc_w, k)
+    y = jnp.einsum("blk,lnk->bln", pk, p["w"].astype(jnp.float32))
+    y = y + p["b"].astype(jnp.float32).T[None]     # [n, loc] -> [loc, n]
+    y = _activate(y, l.activation)
+    return y.reshape(b, l.loc_h, l.loc_w, l.out_channels).astype(x.dtype)
+
+
+def _rnn_layer(l: LayerSpec, p, x):
+    """Vanilla darknet RNN (rnn_layer.c forward:83-122): three connected
+    sublayers; per step state' = (shortcut ? state : 0) + act_i(input(x_t))
+    + act_s(self(state)), out_t = act(output(state')).  The self-layer
+    activation is LOGISTIC/LOGGY when logistic=1/2 in the cfg.  Time rides
+    the leading batch axis step-major (batch = B/steps, rnn_layer.c:32);
+    expressed as lax.scan over steps.  Deviation (documented): darknet
+    persists l.state across inference calls (streaming); a functional
+    graph starts each call from zeros — darknet's state at the start of
+    the FIRST call is also zeros (calloc)."""
+    b = x.shape[0]
+    if b % l.steps:
+        raise ValueError(f"[rnn] batch {b} not divisible by steps {l.steps}")
+    batch = b // l.steps
+    xs = _flatten_chw(x).reshape(l.steps, batch, l.in_features)
+    self_act = {1: "logistic", 2: "loggy"}.get(l.rnn_logistic, l.activation)
+
+    def step(state, xt):
+        i = _dense(p["input"], xt, l.activation, l.batch_normalize)
+        s = _dense(p["self"], state, self_act, l.batch_normalize)
+        new_state = (state if l.rnn_shortcut else 0.0) + i + s
+        o = _dense(p["output"], new_state, l.activation, l.batch_normalize)
+        return new_state, o
+
+    state0 = jnp.zeros((batch, l.hidden), jnp.float32)
+    _, outs = jax.lax.scan(step, state0, xs)
+    return outs.reshape(b, 1, 1, l.out_channels).astype(x.dtype)
+
+
+def _crnn_layer(l: LayerSpec, p, x):
+    """Convolutional RNN (crnn_layer.c forward:95-131): same recurrence as
+    [rnn] but the three sublayers are 3x3/s1/p1 convs and the state is a
+    hidden feature map.  scan over steps; steps ride the leading batch."""
+    b, h, w, _ = x.shape
+    if b % l.steps:
+        raise ValueError(f"[crnn] batch {b} not divisible by steps {l.steps}")
+    batch = b // l.steps
+    mk = lambda cin, cout: LayerSpec(
+        "conv", cout, size=3, stride=1, pad=1,
+        batch_normalize=l.batch_normalize, activation=l.activation,
+        in_channels=cin)
+    spec_in = mk(l.in_channels, l.hidden)
+    spec_self = mk(l.hidden, l.hidden)
+    spec_out = mk(l.hidden, l.out_channels)
+    xs = x.reshape(l.steps, batch, h, w, l.in_channels)
+
+    def step(state, xt):
+        i = _conv_layer(spec_in, p["input"], xt)
+        s = _conv_layer(spec_self, p["self"], state)
+        new_state = (state if l.rnn_shortcut else 0.0) + i + s
+        o = _conv_layer(spec_out, p["output"], new_state)
+        return new_state, o
+
+    state0 = jnp.zeros((batch, h, w, l.hidden), x.dtype)
+    _, outs = jax.lax.scan(step, state0, xs)
+    return outs.reshape(b, h, w, l.out_channels)
+
+
+def _gru_layer(l: LayerSpec, p, x):
+    """darknet's GRU variant (gru_layer.c forward:117-193): six LINEAR
+    connected sublayers; z = sigmoid(input_z(x) + state_z(s)),
+    r = sigmoid(input_r(x) + state_r(s)), h = sigmoid(input_h(x) +
+    state_h(r*s)) (LOGISTIC candidate — USET/TANH is compiled out), and
+    out = z*s + (1-z)*h (weighted_sum_cpu, blas.c:53-59 — note z gates
+    the OLD state, the transpose of the textbook GRU)."""
+    b = x.shape[0]
+    if b % l.steps:
+        raise ValueError(f"[gru] batch {b} not divisible by steps {l.steps}")
+    batch = b // l.steps
+    xs = _flatten_chw(x).reshape(l.steps, batch, l.in_features)
+
+    def dense(name, v):
+        return _dense(p[name], v, "linear", l.batch_normalize)
+
+    def step(state, xt):
+        z = jax.nn.sigmoid(dense("input_z", xt) + dense("state_z", state))
+        r = jax.nn.sigmoid(dense("input_r", xt) + dense("state_r", state))
+        h = jax.nn.sigmoid(dense("input_h", xt)
+                           + dense("state_h", r * state))
+        out = z * state + (1.0 - z) * h
+        return out, out
+
+    state0 = jnp.zeros((batch, l.out_channels), jnp.float32)
+    _, outs = jax.lax.scan(step, state0, xs)
+    return outs.reshape(b, 1, 1, l.out_channels).astype(x.dtype)
 
 
 def _upsample_nearest(x, stride):
@@ -636,7 +1033,11 @@ def decode_detection_head(x_flat, l: LayerSpec, reso):
     s, n, nc = l.side, l.num, l.num_classes
     sc = s * s
     b = x_flat.shape[0]
-    x = x_flat.reshape(b, -1).astype(jnp.float32)
+    # darknet's detection layer reads the previous layer's flat buffer in
+    # CHW order; a [connected] predecessor (the only stock case) is already
+    # flat, but flatten CHW for spatial inputs too
+    x = (_flatten_chw(x_flat) if x_flat.ndim == 4
+         else x_flat.reshape(b, -1)).astype(jnp.float32)
     cls = x[:, :sc * nc].reshape(b, sc, nc)
     if l.det_softmax:
         cls = jax.nn.softmax(cls, axis=-1)
@@ -703,6 +1104,11 @@ def forward(spec: NetworkSpec, params, x, reso: int, decode: bool = True,
     batch-stat BN and records per-layer stats into `bn_stats` (dict keyed by
     layer index) for rolling updates (see `apply_bn_updates`).
     """
+    if train and any(l.kind in ("rnn", "crnn", "gru") for l in spec.layers):
+        raise ValueError(
+            "train=True is unsupported for recurrent layers (rnn/crnn/gru):"
+            " per-step batch-stat BN inside the scan is not plumbed; "
+            "Betapose never trains these (inference-only parity)")
     cache = {}
     raw_heads = []
     decoded = []
@@ -730,6 +1136,18 @@ def forward(spec: NetworkSpec, params, x, reso: int, decode: bool = True,
             x = jax.nn.softmax(x.astype(jnp.float32), axis=-1).astype(x.dtype)
         elif l.kind in ("dropout", "cost"):
             pass  # identity at inference (forward_dropout/cost gate on train)
+        elif l.kind == "crop":
+            x = _crop_layer(l, x)
+        elif l.kind == "normalization":
+            x = _lrn_layer(l, x)
+        elif l.kind == "local":
+            x = _local_layer(l, p, x)
+        elif l.kind == "rnn":
+            x = _rnn_layer(l, p, x)
+        elif l.kind == "crnn":
+            x = _crnn_layer(l, p, x)
+        elif l.kind == "gru":
+            x = _gru_layer(l, p, x)
         elif l.kind == "reorg":
             x = _reorg(x, l.stride)
         elif l.kind == "region":

@@ -373,8 +373,9 @@ class TestLayerZoo:
         np.testing.assert_allclose(out.reshape(3, -1), ref, atol=1e-5)
 
     def test_unsupported_block_message_lists_zoo(self):
+        # [lstm] is absent from the reference fork's parser.c — stays out
         with pytest.raises(ValueError, match="avgpool"):
-            yolov3.build_spec("[net]\nwidth=32\nheight=32\n\n[rnn]\noutput=4")
+            yolov3.build_spec("[net]\nwidth=32\nheight=32\n\n[lstm]\noutput=4")
 
 
 YOLOV2_TINY_CFG = """
@@ -638,3 +639,363 @@ jitter=.2
         truths = jnp.zeros((1, 4, 5), jnp.float32)
         with pytest.raises(NotImplementedError, match="detection"):
             yolo_loss(spec, params, x, truths, 64, 64)
+
+
+DARKNET_TAIL_CFG = """
+[net]
+width=16
+height=16
+channels=3
+
+[crop]
+crop_height=12
+crop_width=12
+
+[convolutional]
+batch_normalize=1
+filters=6
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[normalization]
+size=5
+alpha=0.0002
+beta=0.75
+kappa=2.0
+
+[local]
+filters=4
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[connected]
+output=7
+activation=linear
+"""
+
+RECURRENT_CFG = """
+[net]
+width=2
+height=2
+channels=3
+time_steps=2
+
+[crnn]
+batch_normalize=1
+hidden_filters=4
+output_filters=5
+shortcut=1
+activation=leaky
+
+[rnn]
+output=5
+hidden=6
+activation=tanh
+logistic=2
+shortcut=1
+
+[gru]
+output=4
+"""
+
+
+def _nchw(x):
+    return np.ascontiguousarray(np.transpose(np.asarray(x), (0, 3, 1, 2)))
+
+
+def _im2col_cpu(im_chw, ksize, stride, pad):
+    """Direct transcription of darknet im2col.c:16-46 (zero OOB pad)."""
+    channels, height, width = im_chw.shape
+    height_col = (height + 2 * pad - ksize) // stride + 1
+    width_col = (width + 2 * pad - ksize) // stride + 1
+    channels_col = channels * ksize * ksize
+    col = np.zeros((channels_col, height_col * width_col), np.float32)
+    for c in range(channels_col):
+        w_offset = c % ksize
+        h_offset = (c // ksize) % ksize
+        c_im = c // ksize // ksize
+        for h in range(height_col):
+            for w in range(width_col):
+                im_row = h_offset + h * stride - pad
+                im_col = w_offset + w * stride - pad
+                v = 0.0
+                if 0 <= im_row < height and 0 <= im_col < width:
+                    v = im_chw[c_im, im_row, im_col]
+                col[c, h * width_col + w] = v
+    return col
+
+
+class TestDarknetTail:
+    """The last darknet layer kinds beyond the detector zoo
+    (crop/normalization/local/rnn/crnn/gru) — each checked against a numpy
+    transcription of the C forward, plus byte roundtrips and the CHW-flatten
+    memory-order contract for [connected] after spatial layers."""
+
+    def test_crop_matches_c_transcription(self):
+        # crop_layer.c:67-103 inference branch: center crop + x*2-1
+        rng = np.random.RandomState(0)
+        x = rng.rand(2, 9, 7, 3).astype(np.float32)
+        l = yolov3.LayerSpec("crop", 3, crop_h=4, crop_w=5)
+        got = _nchw(yolov3._crop_layer(l, jnp.asarray(x)))
+        xc = _nchw(x)
+        dh, dw = (9 - 4) // 2, (7 - 5) // 2
+        ref = xc[:, :, dh:dh + 4, dw:dw + 5] * 2.0 - 1.0
+        np.testing.assert_allclose(got, ref, atol=1e-6)
+        l2 = yolov3.LayerSpec("crop", 3, crop_h=4, crop_w=5, noadjust=True)
+        got2 = _nchw(yolov3._crop_layer(l2, jnp.asarray(x)))
+        np.testing.assert_allclose(got2, xc[:, :, dh:dh + 4, dw:dw + 5],
+                                   atol=1e-6)
+
+    @pytest.mark.parametrize("size,c", [(5, 8), (3, 4), (2, 6)])
+    def test_lrn_matches_c_transcription(self, size, c):
+        # normalization_layer.c:65-94 rolling-window loop, including the
+        # short seed (sums k < size/2, one shy of the clipped window)
+        rng = np.random.RandomState(1)
+        x = rng.randn(2, 3, 4, c).astype(np.float32)
+        l = yolov3.LayerSpec("normalization", c, size=size,
+                             lrn_alpha=2e-4, lrn_beta=0.75, lrn_kappa=1.5)
+        got = _nchw(yolov3._lrn_layer(l, jnp.asarray(x)))
+        xc = _nchw(x)
+        sq = xc * xc
+        norms = np.empty_like(xc)
+        norms[:, 0] = l.lrn_kappa
+        for k in range(size // 2):
+            norms[:, 0] += l.lrn_alpha * sq[:, k]
+        for k in range(1, c):
+            norms[:, k] = norms[:, k - 1]
+            prev = k - (size - 1) // 2 - 1
+            nxt = k + size // 2
+            if prev >= 0:
+                norms[:, k] -= l.lrn_alpha * sq[:, prev]
+            if nxt < c:
+                norms[:, k] += l.lrn_alpha * sq[:, nxt]
+        ref = xc * norms ** (-l.lrn_beta)
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-6)
+
+    @pytest.mark.parametrize("pad", [0, 1])
+    def test_local_matches_c_transcription(self, pad):
+        # local_layer.c forward:91-119: per-location [n,k] weight block vs
+        # im2col column j; bias layout [n, locations]
+        rng = np.random.RandomState(2)
+        size, stride, cin, n = 3, 1, 3, 4
+        h = w = 6
+        out_h = (h - 1) // stride + 1 if pad else (h - size) // stride + 1
+        out_w = out_h
+        locations = out_h * out_w
+        k = size * size * cin
+        x = rng.randn(2, h, w, cin).astype(np.float32)
+        wts = rng.randn(locations, n, k).astype(np.float32)
+        b = rng.randn(n, locations).astype(np.float32)
+        l = yolov3.LayerSpec("local", n, size=size, stride=stride, pad=pad,
+                             activation="leaky", in_channels=cin,
+                             loc_h=out_h, loc_w=out_w)
+        got = _nchw(yolov3._local_layer(
+            l, {"w": jnp.asarray(wts), "b": jnp.asarray(b)},
+            jnp.asarray(x)))
+        ref = np.empty((2, n, out_h, out_w), np.float32)
+        for bi in range(2):
+            col = _im2col_cpu(_nchw(x)[bi], size, stride, pad)
+            out = b.copy()
+            for j in range(locations):
+                out[:, j] += wts[j] @ col[:, j]
+            out = np.where(out > 0, out, 0.1 * out)   # leaky
+            ref[bi] = out.reshape(n, out_h, out_w)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+    def test_rnn_matches_c_transcription(self):
+        # rnn_layer.c forward:83-122 with shortcut=1, logistic=2 (LOGGY
+        # self activation), tanh elsewhere; steps ride the leading batch
+        rng = np.random.RandomState(3)
+        steps, batch, in_f, hidden, out = 3, 2, 5, 4, 3
+        l = yolov3.LayerSpec("rnn", out, hidden=hidden, activation="tanh",
+                             rnn_logistic=2, rnn_shortcut=True,
+                             in_features=in_f, steps=steps)
+        p = {name: {"w": jnp.asarray(rng.randn(i, o).astype(np.float32)),
+                    "b": jnp.asarray(rng.randn(o).astype(np.float32))}
+             for name, i, o in (("input", in_f, hidden),
+                                ("self", hidden, hidden),
+                                ("output", hidden, out))}
+        x = rng.randn(steps * batch, 1, 1, in_f).astype(np.float32)
+        got = np.asarray(yolov3._rnn_layer(l, p, jnp.asarray(x)))
+        got = got.reshape(steps, batch, out)
+
+        def dense(pp, v, act):
+            y = v @ np.asarray(pp["w"]) + np.asarray(pp["b"])
+            if act == "tanh":
+                return np.tanh(y)
+            if act == "loggy":
+                return 2.0 / (1.0 + np.exp(-y)) - 1.0
+            return y
+
+        xs = x.reshape(steps, batch, in_f)
+        state = np.zeros((batch, hidden), np.float32)
+        for t in range(steps):
+            i = dense(p["input"], xs[t], "tanh")
+            s = dense(p["self"], state, "loggy")
+            state = state + i + s                     # shortcut=1
+            o = dense(p["output"], state, "tanh")
+            np.testing.assert_allclose(got[t], o, rtol=1e-5, atol=1e-5)
+
+    def test_rnn_no_shortcut_resets_state_sum(self):
+        # shortcut=0: state' = input + self (fill 0 then two axpy)
+        rng = np.random.RandomState(4)
+        steps, batch, in_f, hidden, out = 2, 1, 3, 3, 2
+        l = yolov3.LayerSpec("rnn", out, hidden=hidden,
+                             activation="logistic", in_features=in_f,
+                             steps=steps)
+        p = {name: {"w": jnp.asarray(rng.randn(i, o).astype(np.float32)),
+                    "b": jnp.asarray(rng.randn(o).astype(np.float32))}
+             for name, i, o in (("input", in_f, hidden),
+                                ("self", hidden, hidden),
+                                ("output", hidden, out))}
+        x = rng.randn(steps * batch, 1, 1, in_f).astype(np.float32)
+        got = np.asarray(yolov3._rnn_layer(l, p, jnp.asarray(x)))
+        got = got.reshape(steps, batch, out)
+        sig = lambda v: 1.0 / (1.0 + np.exp(-v))
+        xs = x.reshape(steps, batch, in_f)
+        state = np.zeros((batch, hidden), np.float32)
+        for t in range(steps):
+            state = (sig(xs[t] @ np.asarray(p["input"]["w"])
+                         + np.asarray(p["input"]["b"]))
+                     + sig(state @ np.asarray(p["self"]["w"])
+                           + np.asarray(p["self"]["b"])))
+            o = sig(state @ np.asarray(p["output"]["w"])
+                    + np.asarray(p["output"]["b"]))
+            np.testing.assert_allclose(got[t], o, rtol=1e-5, atol=1e-5)
+
+    def test_gru_matches_c_transcription(self):
+        # gru_layer.c forward:117-193: z/r sigmoids AFTER input+state sum,
+        # candidate h sigmoid (USET off), out = z*old_state + (1-z)*h
+        rng = np.random.RandomState(5)
+        steps, batch, in_f, out = 3, 2, 4, 3
+        l = yolov3.LayerSpec("gru", out, in_features=in_f, steps=steps)
+        names = yolov3._GRU_SUBLAYERS
+        p = {n: {"w": jnp.asarray(rng.randn(
+                     in_f if n.startswith("input") else out, out)
+                     .astype(np.float32)),
+                 "b": jnp.asarray(rng.randn(out).astype(np.float32))}
+             for n in names}
+        x = rng.randn(steps * batch, 1, 1, in_f).astype(np.float32)
+        got = np.asarray(yolov3._gru_layer(l, p, jnp.asarray(x)))
+        got = got.reshape(steps, batch, out)
+        sig = lambda v: 1.0 / (1.0 + np.exp(-v))
+        lin = lambda n, v: v @ np.asarray(p[n]["w"]) + np.asarray(p[n]["b"])
+        xs = x.reshape(steps, batch, in_f)
+        state = np.zeros((batch, out), np.float32)
+        for t in range(steps):
+            z = sig(lin("input_z", xs[t]) + lin("state_z", state))
+            r = sig(lin("input_r", xs[t]) + lin("state_r", state))
+            h = sig(lin("input_h", xs[t]) + lin("state_h", r * state))
+            state = z * state + (1.0 - z) * h
+            np.testing.assert_allclose(got[t], state, rtol=1e-5, atol=1e-5)
+
+    def test_crnn_matches_python_loop(self):
+        # crnn_layer.c forward:90-131 — same recurrence as [rnn] with 3x3
+        # conv sublayers; oracle replays the scan as a Python loop over
+        # the already-tested _conv_layer
+        spec = yolov3.build_spec(RECURRENT_CFG)
+        l = spec.layers[0]
+        assert (l.kind, l.hidden, l.out_channels, l.steps,
+                l.rnn_shortcut) == ("crnn", 4, 5, 2, True)
+        params = yolov3.init_params(jax.random.PRNGKey(7), spec)
+        rng = np.random.RandomState(6)
+        x = rng.randn(4, 2, 2, 3).astype(np.float32)    # steps=2, batch=2
+        got = np.asarray(yolov3._crnn_layer(l, params[0], jnp.asarray(x)))
+        mk = lambda cin, cout: yolov3.LayerSpec(
+            "conv", cout, size=3, stride=1, pad=1, batch_normalize=True,
+            activation="leaky", in_channels=cin)
+        state = jnp.zeros((2, 2, 2, 4), jnp.float32)
+        outs = []
+        for t in range(2):
+            xt = jnp.asarray(x[t * 2:(t + 1) * 2])
+            i = yolov3._conv_layer(mk(3, 4), params[0]["input"], xt)
+            s = yolov3._conv_layer(mk(4, 4), params[0]["self"], state)
+            state = state + i + s                        # shortcut=1
+            outs.append(np.asarray(yolov3._conv_layer(
+                mk(4, 5), params[0]["output"], state)))
+        np.testing.assert_allclose(got, np.concatenate(outs), rtol=1e-5,
+                                   atol=1e-5)
+
+    def test_tail_cfg_builds_runs_roundtrips(self, tmp_path):
+        spec = yolov3.build_spec(DARKNET_TAIL_CFG)
+        assert [l.kind for l in spec.layers] == [
+            "crop", "conv", "normalization", "local", "connected"]
+        assert spec.layers[3].loc_h == 12       # pad=1 size=3: (12-1)/1+1
+        assert spec.layers[4].in_features == 4 * 12 * 12
+        params = yolov3.init_params(jax.random.PRNGKey(0), spec)
+        x = jnp.asarray(np.random.RandomState(0)
+                        .rand(2, 16, 16, 3).astype(np.float32))
+        out = np.asarray(yolov3.forward(spec, params, x, reso=16))
+        assert out.shape == (2, 1, 1, 7)
+        path = str(tmp_path / "tail.weights")
+        yolov3.save_darknet_weights(spec, params, path)
+        loaded, _ = yolov3.load_darknet_weights(spec, path,
+                                                allow_partial=False)
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(loaded)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_recurrent_cfg_builds_runs_roundtrips(self, tmp_path):
+        spec = yolov3.build_spec(RECURRENT_CFG)
+        assert [l.kind for l in spec.layers] == ["crnn", "rnn", "gru"]
+        assert spec.layers[1].in_features == 5 * 2 * 2
+        assert spec.layers[2].in_features == 5
+        params = yolov3.init_params(jax.random.PRNGKey(1), spec)
+        x = jnp.asarray(np.random.RandomState(1)
+                        .rand(4, 2, 2, 3).astype(np.float32))
+        out = np.asarray(yolov3.forward(spec, params, x, reso=2))
+        assert out.shape == (4, 1, 1, 4)
+        assert np.isfinite(out).all()
+        path = str(tmp_path / "rec.weights")
+        yolov3.save_darknet_weights(spec, params, path)
+        loaded, _ = yolov3.load_darknet_weights(spec, path,
+                                                allow_partial=False)
+        la = jax.tree_util.tree_leaves(params)
+        lb = jax.tree_util.tree_leaves(loaded)
+        assert len(la) == len(lb)
+        for a, b in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        with pytest.raises(ValueError, match="rnn"):
+            yolov3.forward(spec, params, x, reso=2, train=True)
+
+    def test_connected_flattens_chw(self):
+        # connected_layer.c consumes the previous layer's CHW-flat buffer;
+        # an NHWC ravel would permute the weight rows whenever the input
+        # still has spatial extent (regression for the flatten order)
+        cfg = """
+[net]
+width=4
+height=4
+channels=3
+
+[convolutional]
+filters=2
+size=1
+stride=1
+pad=0
+activation=linear
+
+[connected]
+output=5
+activation=linear
+"""
+        spec = yolov3.build_spec(cfg)
+        assert spec.layers[1].in_features == 2 * 4 * 4
+        params = yolov3.init_params(jax.random.PRNGKey(2), spec)
+        rng = np.random.RandomState(7)
+        params[1]["w"] = jnp.asarray(rng.randn(32, 5).astype(np.float32))
+        x = rng.randn(2, 4, 4, 3).astype(np.float32)
+        feats = np.asarray(yolov3.forward(
+            yolov3.NetworkSpec(spec.layers[:1], spec.cache_idxs,
+                               spec.net_info),
+            params[:1], jnp.asarray(x), reso=4))
+        flat = _nchw(feats).reshape(2, -1)          # darknet CHW order
+        ref = flat @ np.asarray(params[1]["w"]) + np.asarray(
+            params[1]["b"])
+        got = np.asarray(yolov3.forward(spec, params, jnp.asarray(x),
+                                        reso=4)).reshape(2, -1)
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
