@@ -35,7 +35,8 @@ class LayerSpec:
     kind: str                   # conv | shortcut | route | upsample | maxpool
     #                           # | yolo | avgpool | softmax | dropout | cost
     #                           # | connected | crop | normalization | local
-    #                           # | rnn | crnn | gru
+    #                           # | rnn | crnn | gru | activation | batchnorm
+    #                           # | reorg_old
     out_channels: int
     # conv
     size: int = 0
@@ -75,6 +76,8 @@ class LayerSpec:
     steps: int = 1
     rnn_shortcut: bool = False  # state += old state instead of reset
     rnn_logistic: int = 0       # self-layer activation: 1=LOGISTIC 2=LOGGY
+    # reorg_old (reorg_old_layer.c)
+    reverse: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -88,16 +91,29 @@ class NetworkSpec:
         return tuple(i for i, l in enumerate(self.layers) if l.kind == "yolo")
 
 
+# parser.c string_to_layer_type:44-79 — the section-name alias table
+_CFG_ALIASES = {"conv": "convolutional", "conn": "connected",
+                "max": "maxpool", "avg": "avgpool", "lrn": "normalization",
+                "soft": "softmax", "network": "net"}
+
+
 def build_spec(cfg) -> NetworkSpec:
     """cfg: path or cfg text. Returns the static network spec."""
     blocks = parse_cfg(cfg)
+    blocks = [dict(b, type=_CFG_ALIASES.get(b["type"], b["type"]))
+              for b in blocks]
     net_info = {}
     if blocks and blocks[0]["type"] == "net":
         net_info = blocks[0]
         blocks = blocks[1:]
 
     layers = []
-    out_channels = [3]  # out_channels[i+1] = channels of layer i
+    # out_channels[i+1] = channels of layer i; input from [net] channels=
+    try:
+        in_ch = int(net_info.get("channels", 3))
+    except (TypeError, ValueError):
+        in_ch = 3
+    out_channels = [in_ch]
     # static spatial tracking (parser.c propagates net w/h the same way);
     # only required when a [connected] layer needs its flattened input size
     try:
@@ -301,15 +317,52 @@ def build_spec(cfg) -> NetworkSpec:
             layers.append(LayerSpec("cost", cin))
             out_channels.append(cin)
             dims.append((cur_h, cur_w))
-        elif t == "reorg":
+        elif t in ("reorg", "reorg_old"):
             # YOLOv2 space-to-depth (reorg_layer.c): (h,w,c) ->
-            # (h/s, w/s, c*s^2) with darknet's channel interleave
+            # (h/s, w/s, c*s^2) with darknet's channel interleave;
+            # reverse=1 runs the permutation the other way (depth-to-
+            # space, out (h*s, w*s, c/s^2)).  [reorg_old] is the
+            # original YOLO9000 layer (reorg_old_layer.c): same output
+            # dims but reorg_cpu gets the INPUT dims, yielding a
+            # different (historical) flat permutation.
             stride = int(b.get("stride", 1))
-            layers.append(LayerSpec("reorg", cin * stride * stride,
-                                    stride=stride, in_channels=cin))
-            out_channels.append(cin * stride * stride)
-            dims.append((None if cur_h is None else cur_h // stride,
-                         None if cur_w is None else cur_w // stride))
+            reverse = int(b.get("reverse", 0)) != 0
+            s2 = stride * stride
+            if reverse:
+                # reorg_cpu decomposes its out_c arg (= c/s^2 here) by
+                # another /s^2 — darknet's own index math (blas.c:12)
+                need = s2 if t == "reorg_old" else s2 * s2
+                if cin % need:
+                    raise ValueError(
+                        f"[{t}] reverse=1 needs channels divisible by "
+                        f"{need} (darknet reads out of bounds otherwise)")
+                out_c = cin // s2
+            else:
+                if cin % s2 and t == "reorg_old":
+                    raise ValueError(
+                        f"[reorg_old] needs channels divisible by {s2}")
+                out_c = cin * s2
+            layers.append(LayerSpec(t, out_c, stride=stride,
+                                    in_channels=cin, reverse=reverse))
+            out_channels.append(out_c)
+            mul = (lambda d: d * stride) if reverse else \
+                  (lambda d: d // stride)
+            dims.append((None if cur_h is None else mul(cur_h),
+                         None if cur_w is None else mul(cur_w)))
+        elif t == "activation":
+            # parser.c parse_activation:532-547 / activation_layer.c:
+            # parameterless elementwise activation, dims unchanged
+            layers.append(LayerSpec(
+                "activation", cin,
+                activation=b.get("activation", "linear")))
+            out_channels.append(cin)
+            dims.append((cur_h, cur_w))
+        elif t == "batchnorm":
+            # standalone BN (parser.c parse_batchnorm:508-512,
+            # batchnorm_layer.c): scales/rolling stats only — no beta
+            layers.append(LayerSpec("batchnorm", cin))
+            out_channels.append(cin)
+            dims.append((cur_h, cur_w))
         elif t == "region":
             # YOLOv2 detection head (region_layer.c): all `num` anchors in
             # GRID units (no mask), classes softmaxed
@@ -357,8 +410,9 @@ def build_spec(cfg) -> NetworkSpec:
             raise ValueError(
                 f"unsupported block type: {t} (supported: convolutional,"
                 " shortcut, route, upsample, maxpool, avgpool, connected,"
-                " dropout, softmax, cost, reorg, region, yolo, detection,"
-                " crop, normalization, local, rnn, crnn, gru)")
+                " dropout, softmax, cost, reorg, reorg_old, region, yolo,"
+                " detection, crop, normalization, local, rnn, crnn, gru,"
+                " activation, batchnorm)")
     return NetworkSpec(tuple(layers), frozenset(needed), net_info)
 
 
@@ -457,6 +511,13 @@ def init_params(key, spec: NetworkSpec, dtype=jnp.float32):
                 name: _init_connected_p(
                     kk, in_f, out, l.batch_normalize, dtype)
                 for name, kk, in_f in zip(_GRU_SUBLAYERS, keys[1:], ins)})
+        elif l.kind == "batchnorm":
+            # make_batchnorm_layer: scales=1, rolling stats 0/0 — note
+            # darknet calloc's rolling_variance to ZERO (not 1)
+            params.append({
+                "bn_scale": jnp.ones((l.out_channels,), dtype),
+                "bn_mean": jnp.zeros((l.out_channels,), dtype),
+                "bn_var": jnp.zeros((l.out_channels,), dtype)})
         else:
             params.append({})
     return params
@@ -631,11 +692,22 @@ def load_darknet_weights(spec: NetworkSpec, path, dtype=jnp.float32,
                         else l.out_channels))
                       for name in _GRU_SUBLAYERS),
                 l.batch_normalize)
+        elif l.kind == "batchnorm":
+            # load_batchnorm_weights (parser.c:1061-1071): scales,
+            # rolling_mean, rolling_variance — no bias array
+            p = {}
+            for k in ("bn_scale", "bn_mean", "bn_var"):
+                v = take(l.out_channels)
+                if v is None:
+                    p = None
+                    break
+                p[k] = jnp.asarray(v, dtype)
         params.append(init[li] if p is None else p)
     return params, header
 
 
-_PARAM_KINDS = ("conv", "connected", "local", "rnn", "crnn", "gru")
+_PARAM_KINDS = ("conv", "connected", "local", "rnn", "crnn", "gru",
+                "batchnorm")
 
 
 BN_ROLLING_MOMENTUM = 0.01  # darknet: rolling = .99*rolling + .01*batch
@@ -708,6 +780,10 @@ def save_darknet_weights(spec: NetworkSpec, params, path, seen: int = 0):
         elif l.kind == "gru":
             for name in _GRU_SUBLAYERS:
                 write_connected(p[name], l.batch_normalize)
+        elif l.kind == "batchnorm":
+            # save_batchnorm_weights (parser.c:934-944)
+            for k in ("bn_scale", "bn_mean", "bn_var"):
+                w32(p[k])
     with open(path, "wb") as f:
         f.write(buf.getvalue())
 
@@ -745,7 +821,10 @@ def _conv_layer(l: LayerSpec, p, x, train=False, bn_stats=None, path=None):
 
 
 def _activate(y, activation):
-    """darknet activations.c subset used by the supported layer zoo."""
+    """The full darknet activation table (activations.h:22-55).
+    Deviation: get_activation:43-60 warns and falls back to RELU on an
+    unknown name; here that's a hard error (silent substitution would
+    corrupt weights parity)."""
     if activation == "leaky":
         return jnp.where(y > 0, y, 0.1 * y)
     if activation == "relu":
@@ -757,6 +836,30 @@ def _activate(y, activation):
         return 2.0 * jax.nn.sigmoid(y) - 1.0
     if activation == "tanh":
         return jnp.tanh(y)
+    if activation == "elu":
+        return jnp.where(y >= 0, y, jnp.exp(jnp.minimum(y, 0.0)) - 1.0)
+    if activation == "relie":
+        return jnp.where(y > 0, y, 0.01 * y)
+    if activation == "ramp":
+        # x*(x>0) + .1*x — NOT the same as leaky (adds .1x on BOTH sides)
+        return y * (y > 0) + 0.1 * y
+    if activation == "plse":
+        return jnp.where(
+            y < -4.0, 0.01 * (y + 4.0),
+            jnp.where(y > 4.0, 0.01 * (y - 4.0) + 1.0, 0.125 * y + 0.5))
+    if activation == "hardtan":
+        return jnp.clip(y, -1.0, 1.0)
+    if activation == "lhtan":
+        return jnp.where(
+            y < 0, 0.001 * y,
+            jnp.where(y > 1.0, 0.001 * (y - 1.0) + 1.0, y))
+    if activation == "stair":
+        # int n = floor(x); n even -> floor(x/2), else (x-n)+floor(x/2)
+        n = jnp.floor(y)
+        half = jnp.floor(y / 2.0)
+        return jnp.where(n % 2 == 0, half, (y - n) + half)
+    if activation != "linear":
+        raise ValueError(f"unknown activation: {activation}")
     return y  # linear
 
 
@@ -987,6 +1090,60 @@ def _reorg(x, stride):
     return jnp.concatenate(blocks, axis=-1)
 
 
+def _batchnorm_layer(l: LayerSpec, p, x, train=False, bn_stats=None,
+                     path=None):
+    """Standalone [batchnorm] (batchnorm_layer.c forward:129-151):
+    out = (x - mean) / (sqrt(var) + 1e-6) * scales — note darknet's
+    normalize_cpu adds its epsilon to sqrt(var), NOT under it (blas.c:
+    136), and the layer has NO beta.  Inference uses rolling stats
+    (calloc'd to ZERO until trained/loaded); train uses batch stats and
+    records them for rolling updates."""
+    xf = x.astype(jnp.float32)
+    if train:
+        mean = jnp.mean(xf, axis=(0, 1, 2))
+        var = jnp.var(xf, axis=(0, 1, 2))
+        if bn_stats is not None:
+            bn_stats[path] = (mean, var)
+    else:
+        mean, var = p["bn_mean"], p["bn_var"]
+    y = (xf - mean) / (jnp.sqrt(var) + 1e-6) * p["bn_scale"]
+    return y.astype(x.dtype)
+
+
+def _reorg_darknet(l: LayerSpec, x, old: bool):
+    """Transcription of reorg_cpu (blas.c:9-33) covering the reverse
+    flag and both layers' calling conventions: [reorg] passes its OUT
+    dims (reorg_layer.c:78-86), [reorg_old] its IN dims
+    (reorg_old_layer.c:80-88) — historically different flat
+    permutations over the same buffer.  The output buffer is then read
+    at the layer's out dims regardless.  All reshape/transpose on the
+    CHW view: static permutations, no gathers."""
+    b, h, w, c = x.shape
+    s = l.stride
+    if old:
+        W, H, C = w, h, c
+    elif l.reverse:
+        W, H, C = w * s, h * s, c // (s * s)
+    else:
+        W, H, C = w // s, h // s, c * s * s
+    in_c = C // (s * s)
+    flat = x.transpose(0, 3, 1, 2).reshape(b, -1)  # darknet CHW order
+    if l.reverse:
+        # forward=1: out[(in_c,H*s,W*s) view] = x[(C,H,W) view],
+        # k -> (offset, c2) with offset slow (blas.c:22-26)
+        v = flat.reshape(b, s, s, in_c, H, W)      # (oy, ox, c2, j, i)
+        out = v.transpose(0, 3, 4, 1, 5, 2)        # (c2, (j,oy), (i,ox))
+    else:
+        # forward=0: out[(C,H,W) view] = x[(in_c,H*s,W*s) view]
+        v = flat.reshape(b, in_c, H, s, W, s)      # (c2, (j,oy), (i,ox))
+        out = v.transpose(0, 3, 5, 1, 2, 4)        # ((oy,ox,c2), j, i)
+    if l.reverse:
+        oc, oh, ow = c // (s * s), h * s, w * s
+    else:
+        oc, oh, ow = c * s * s, h // s, w // s
+    return out.reshape(b, oc, oh, ow).transpose(0, 2, 3, 1)
+
+
 def decode_region_head(x_nhwc, anchors, num_classes, reso):
     """Decode a YOLOv2 [region] head (region_layer.c forward +
     get_region_box with DOABS=1, region_layer.c:78-90,179-210):
@@ -1149,7 +1306,18 @@ def forward(spec: NetworkSpec, params, x, reso: int, decode: bool = True,
         elif l.kind == "gru":
             x = _gru_layer(l, p, x)
         elif l.kind == "reorg":
-            x = _reorg(x, l.stride)
+            # fast NHWC slice path for the stock (non-reverse) YOLOv2
+            # layer; the transcription handles reverse
+            x = (_reorg(x, l.stride) if not l.reverse
+                 else _reorg_darknet(l, x, old=False))
+        elif l.kind == "reorg_old":
+            x = _reorg_darknet(l, x, old=True)
+        elif l.kind == "activation":
+            x = _activate(x.astype(jnp.float32),
+                          l.activation).astype(x.dtype)
+        elif l.kind == "batchnorm":
+            x = _batchnorm_layer(l, p, x, train=train, bn_stats=bn_stats,
+                                 path=i)
         elif l.kind == "region":
             raw_heads.append(x)
             if decode:

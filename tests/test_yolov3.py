@@ -1,6 +1,9 @@
 """YOLOv3 tests: cfg parsing/spec building, darknet .weights roundtrip,
 BN folding, torch-layout golden checks, and detection decode."""
 
+import math
+import os
+
 import numpy as np
 import pytest
 
@@ -999,3 +1002,251 @@ activation=linear
         got = np.asarray(yolov3.forward(spec, params, jnp.asarray(x),
                                         reso=4)).reshape(2, -1)
         np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def _reorg_cpu_oracle(x_flat, W, H, C, stride, forward):
+    """Direct transcription of darknet blas.c reorg_cpu:9-33 (one sample,
+    flat CHW buffers)."""
+    out = np.zeros_like(x_flat)
+    in_c = C // (stride * stride)
+    for k in range(C):
+        for j in range(H):
+            for i in range(W):
+                in_index = i + W * (j + H * k)
+                c2 = k % in_c
+                offset = k // in_c
+                w2 = i * stride + offset % stride
+                h2 = j * stride + offset // stride
+                out_index = w2 + W * stride * (h2 + H * stride * c2)
+                if forward:
+                    out[out_index] = x_flat[in_index]
+                else:
+                    out[in_index] = x_flat[out_index]
+    return out
+
+
+class TestFinalZoo:
+    """The last three parser.c layer kinds ([activation], [batchnorm],
+    [reorg_old]) + [reorg] reverse + the section-name alias table —
+    with these, every LAYER_TYPE in string_to_layer_type:44-79 builds."""
+
+    @pytest.mark.parametrize("name,f", [
+        ("elu", lambda x: x if x >= 0 else math.exp(x) - 1),
+        ("relie", lambda x: x if x > 0 else 0.01 * x),
+        ("ramp", lambda x: x * (x > 0) + 0.1 * x),
+        ("plse", lambda x: (0.01 * (x + 4) if x < -4 else
+                            0.01 * (x - 4) + 1 if x > 4 else
+                            0.125 * x + 0.5)),
+        ("hardtan", lambda x: -1.0 if x < -1 else (1.0 if x > 1 else x)),
+        ("lhtan", lambda x: (0.001 * x if x < 0 else
+                             0.001 * (x - 1) + 1 if x > 1 else x)),
+        ("stair", lambda x: (math.floor(x / 2.0)
+                             if int(math.floor(x)) % 2 == 0 else
+                             (x - math.floor(x)) + math.floor(x / 2.0))),
+    ])
+    def test_activation_formulas_match_c(self, name, f):
+        # activations.h:22-55 scalar formulas (incl. negative inputs;
+        # stair's parity test uses Python %, which matches C's !=0 test
+        # on negatives because parity is sign-independent)
+        xs = np.array([-5.5, -4.0, -2.5, -1.5, -1.0, -0.3, 0.0, 0.4,
+                       1.0, 1.7, 3.0, 4.0, 6.25], np.float32)
+        got = np.asarray(yolov3._activate(jnp.asarray(xs), name))
+        want = np.array([f(float(v)) for v in xs], np.float32)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    def test_activation_layer_in_graph(self):
+        cfg = ("[net]\nwidth=4\nheight=4\nchannels=3\n\n"
+               "[activation]\nactivation=loggy\n")
+        spec = yolov3.build_spec(cfg)
+        assert [l.kind for l in spec.layers] == ["activation"]
+        params = yolov3.init_params(jax.random.PRNGKey(0), spec)
+        x = np.random.RandomState(0).randn(2, 4, 4, 3).astype(np.float32)
+        got = np.asarray(yolov3.forward(spec, params, jnp.asarray(x),
+                                        reso=4))
+        np.testing.assert_allclose(got, 2.0 / (1.0 + np.exp(-x)) - 1.0,
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_batchnorm_matches_c_transcription(self):
+        # batchnorm_layer.c forward:129-151 inference: normalize_cpu
+        # divides by (sqrt(var) + 1e-6) — epsilon OUTSIDE the sqrt — then
+        # scale_bias; no beta exists
+        rng = np.random.RandomState(3)
+        c = 5
+        x = rng.randn(2, 3, 4, c).astype(np.float32)
+        p = {"bn_scale": jnp.asarray(rng.rand(c).astype(np.float32) + .5),
+             "bn_mean": jnp.asarray(rng.randn(c).astype(np.float32)),
+             "bn_var": jnp.asarray(rng.rand(c).astype(np.float32) + .2)}
+        l = yolov3.LayerSpec("batchnorm", c)
+        got = np.asarray(yolov3._batchnorm_layer(l, p, jnp.asarray(x)))
+        want = ((x - np.asarray(p["bn_mean"]))
+                / (np.sqrt(np.asarray(p["bn_var"])) + 1e-6)
+                * np.asarray(p["bn_scale"]))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_batchnorm_train_records_batch_stats(self):
+        rng = np.random.RandomState(4)
+        x = rng.randn(4, 3, 3, 2).astype(np.float32) * 3 + 1
+        spec = yolov3.build_spec(
+            "[net]\nwidth=3\nheight=3\nchannels=2\n\n[batchnorm]\n")
+        params = yolov3.init_params(jax.random.PRNGKey(0), spec)
+        stats = {}
+        out = np.asarray(yolov3.forward(spec, params, jnp.asarray(x),
+                                        reso=3, train=True, bn_stats=stats))
+        mean, var = (np.asarray(v) for v in stats[0])
+        np.testing.assert_allclose(mean, x.mean(axis=(0, 1, 2)), atol=1e-5)
+        np.testing.assert_allclose(var, x.var(axis=(0, 1, 2)), atol=1e-5)
+        # normalized output has ~zero mean / unit variance per channel
+        np.testing.assert_allclose(out.mean(axis=(0, 1, 2)), 0, atol=1e-5)
+        np.testing.assert_allclose(out.var(axis=(0, 1, 2)), 1, atol=1e-3)
+
+    @pytest.mark.parametrize("reverse", [False, True])
+    def test_reorg_old_matches_c_transcription(self, reverse):
+        # reorg_old_layer.c forward:80-88: reorg_cpu gets the layer's
+        # INPUT dims; reverse flips the forward flag
+        rng = np.random.RandomState(5)
+        s, h, w, c = 2, 4, 6, 8
+        x = rng.randn(2, h, w, c).astype(np.float32)
+        cfg = (f"[net]\nwidth={w}\nheight={h}\nchannels={c}\n\n"
+               f"[reorg_old]\nstride={s}\nreverse={int(reverse)}\n")
+        spec = yolov3.build_spec(cfg)
+        (l,) = spec.layers
+        assert l.kind == "reorg_old" and l.reverse == reverse
+        got = np.asarray(yolov3.forward(
+            spec, [{}], jnp.asarray(x), reso=max(h, w)))
+        oc = c // (s * s) if reverse else c * s * s
+        oh = h * s if reverse else h // s
+        ow = w * s if reverse else w // s
+        assert got.shape == (2, oh, ow, oc)
+        for bi in range(2):
+            flat = np.transpose(x[bi], (2, 0, 1)).ravel()
+            want = _reorg_cpu_oracle(flat, w, h, c, s, int(reverse))
+            np.testing.assert_array_equal(
+                np.transpose(got[bi], (2, 0, 1)).ravel(), want)
+
+    def test_reorg_reverse_matches_c_transcription(self):
+        # reorg_layer.c forward:78-86 reverse branch: reorg_cpu gets the
+        # OUT dims (w*s, h*s, c/s^2) with forward=1 — note the double
+        # /s^2 decomposition means c must divide s^4
+        rng = np.random.RandomState(6)
+        s, h, w, c = 2, 3, 5, 16
+        x = rng.randn(2, h, w, c).astype(np.float32)
+        cfg = (f"[net]\nwidth={w}\nheight={h}\nchannels={c}\n\n"
+               f"[reorg]\nstride={s}\nreverse=1\n")
+        spec = yolov3.build_spec(cfg)
+        got = np.asarray(yolov3.forward(
+            spec, [{}], jnp.asarray(x), reso=max(h, w)))
+        assert got.shape == (2, h * s, w * s, c // (s * s))
+        for bi in range(2):
+            flat = np.transpose(x[bi], (2, 0, 1)).ravel()
+            want = _reorg_cpu_oracle(flat, w * s, h * s, c // (s * s), s, 1)
+            np.testing.assert_array_equal(
+                np.transpose(got[bi], (2, 0, 1)).ravel(), want)
+
+    def test_reorg_reverse_rejects_bad_channels(self):
+        with pytest.raises(ValueError, match="divisible"):
+            yolov3.build_spec(
+                "[net]\nwidth=4\nheight=4\nchannels=8\n\n"
+                "[reorg]\nstride=2\nreverse=1\n")
+        with pytest.raises(ValueError, match="divisible"):
+            yolov3.build_spec(
+                "[net]\nwidth=4\nheight=4\nchannels=6\n\n"
+                "[reorg_old]\nstride=2\n")
+
+    def test_section_alias_table(self):
+        # parser.c string_to_layer_type:44-79: [conv]/[conn]/[max]/[avg]/
+        # [lrn]/[soft]/[network] are aliases of the long names
+        cfg = """
+[network]
+width=8
+height=8
+channels=3
+
+[conv]
+filters=4
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[max]
+size=2
+stride=2
+padding=0
+
+[lrn]
+size=3
+
+[conv]
+filters=6
+size=1
+stride=1
+pad=0
+activation=linear
+
+[avg]
+
+[conn]
+output=5
+activation=linear
+
+[soft]
+"""
+        spec = yolov3.build_spec(cfg)
+        assert [l.kind for l in spec.layers] == [
+            "conv", "maxpool", "normalization", "conv", "avgpool",
+            "connected", "softmax"]
+        assert spec.net_info["width"] == "8"
+        assert spec.layers[5].in_features == 6  # after global avgpool
+        params = yolov3.init_params(jax.random.PRNGKey(1), spec)
+        x = np.random.RandomState(1).rand(2, 8, 8, 3).astype(np.float32)
+        out = np.asarray(yolov3.forward(spec, params, jnp.asarray(x),
+                                        reso=8))
+        assert out.shape == (2, 1, 1, 5)
+        np.testing.assert_allclose(out.sum(-1), 1.0, rtol=1e-5)
+
+    def test_final_zoo_cfg_builds_runs_roundtrips(self, tmp_path):
+        cfg = """
+[net]
+width=8
+height=8
+channels=4
+
+[reorg_old]
+stride=2
+
+[batchnorm]
+
+[activation]
+activation=elu
+
+[reorg]
+stride=2
+reverse=1
+
+[connected]
+output=3
+activation=linear
+"""
+        spec = yolov3.build_spec(cfg)
+        assert [l.kind for l in spec.layers] == [
+            "reorg_old", "batchnorm", "activation", "reorg", "connected"]
+        assert spec.layers[4].in_features == 4 * 8 * 8
+        params = yolov3.init_params(jax.random.PRNGKey(2), spec)
+        # zero rolling variance (darknet's calloc init) must not NaN
+        params[1]["bn_var"] = params[1]["bn_var"] + 0.5
+        x = np.random.RandomState(2).rand(2, 8, 8, 4).astype(np.float32)
+        out = np.asarray(yolov3.forward(spec, params, jnp.asarray(x),
+                                        reso=8))
+        assert out.shape == (2, 1, 1, 3)
+        assert np.isfinite(out).all()
+        path = str(tmp_path / "fz.weights")
+        yolov3.save_darknet_weights(spec, params, path)
+        # on-disk float count: header(4 int32) + batchnorm 3*c +
+        # connected bias+weights — batchnorm carries NO beta
+        n_floats = (os.path.getsize(path) - 16) // 4
+        assert n_floats == 3 * 16 + (3 + 4 * 8 * 8 * 3)
+        loaded, _ = yolov3.load_darknet_weights(spec, path,
+                                                allow_partial=False)
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(loaded)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
