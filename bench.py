@@ -91,7 +91,9 @@ def _mfu_estimate(jax, pipe, frames_dev, steady_fps, batch):
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    # batch 96 is the measured throughput peak on one v5e (PROFILE.md:
+    # 964-1080 fps across 64-192, max at 96); override via BENCH_BATCH
+    batch = int(os.environ.get("BENCH_BATCH", "96"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
     e2e_frames = int(os.environ.get("BENCH_E2E_FRAMES", str(batch * 6)))
