@@ -58,8 +58,16 @@ class LayerSpec:
     side: int = 0               # SxS grid
     num: int = 0                # boxes per cell
     coords: int = 4
-    det_softmax: bool = False   # per-cell softmax over classes
+    det_softmax: bool = False   # per-cell softmax over classes ([region] too)
     det_sqrt: bool = False      # w,h predicted as sqrt
+    # v1/v2 training-loss knobs (parse_region:310-344, parse_detection:
+    # 367-388); v3 [yolo] heads don't use these (fixed scales = 1)
+    coord_scale: float = 1.0
+    object_scale: float = 1.0
+    noobject_scale: float = 1.0
+    class_scale: float = 1.0
+    bias_match: bool = False    # region anchor match on priors vs pred w/h
+    rescore: bool = False       # objectness target = IoU instead of 1
     # crop (crop_layer.c; inference = deterministic center crop)
     crop_h: int = 0
     crop_w: int = 0
@@ -365,7 +373,9 @@ def build_spec(cfg) -> NetworkSpec:
             dims.append((cur_h, cur_w))
         elif t == "region":
             # YOLOv2 detection head (region_layer.c): all `num` anchors in
-            # GRID units (no mask), classes softmaxed
+            # GRID units (no mask); softmax/scales/bias_match/rescore per
+            # parse_region:310-344 (softmax_tree/map/classfix/focal out of
+            # scope — absent from every stock detector cfg)
             flat = [float(x)
                     for x in b["anchors"].replace(" ", "").split(",")]
             anchors = tuple((flat[j], flat[j + 1])
@@ -373,7 +383,15 @@ def build_spec(cfg) -> NetworkSpec:
             needed.add(i - 1)
             layers.append(LayerSpec(
                 "region", cin, anchors=anchors,
-                num_classes=int(b["classes"])))
+                num_classes=int(b["classes"]),
+                det_softmax=int(b.get("softmax", 0)) != 0,
+                ignore_thresh=float(b.get("thresh", 0.5)),
+                coord_scale=float(b.get("coord_scale", 1.0)),
+                object_scale=float(b.get("object_scale", 1.0)),
+                noobject_scale=float(b.get("noobject_scale", 1.0)),
+                class_scale=float(b.get("class_scale", 1.0)),
+                bias_match=int(b.get("bias_match", 0)) != 0,
+                rescore=int(b.get("rescore", 0)) != 0))
             out_channels.append(cin)
             dims.append((cur_h, cur_w))
         elif t == "yolo":
@@ -403,7 +421,12 @@ def build_spec(cfg) -> NetworkSpec:
                 side=int(b.get("side", 7)), num=int(b.get("num", 1)),
                 num_classes=int(b.get("classes", 1)), coords=coords,
                 det_softmax=bool(int(b.get("softmax", 0))),
-                det_sqrt=bool(int(b.get("sqrt", 0)))))
+                det_sqrt=bool(int(b.get("sqrt", 0))),
+                coord_scale=float(b.get("coord_scale", 1.0)),
+                object_scale=float(b.get("object_scale", 1.0)),
+                noobject_scale=float(b.get("noobject_scale", 1.0)),
+                class_scale=float(b.get("class_scale", 1.0)),
+                rescore=int(b.get("rescore", 0)) != 0))
             out_channels.append(cin)
             dims.append((cur_h, cur_w))
         else:
@@ -1144,13 +1167,14 @@ def _reorg_darknet(l: LayerSpec, x, old: bool):
     return out.reshape(b, oc, oh, ow).transpose(0, 2, 3, 1)
 
 
-def decode_region_head(x_nhwc, anchors, num_classes, reso):
+def decode_region_head(x_nhwc, anchors, num_classes, reso, softmax=True):
     """Decode a YOLOv2 [region] head (region_layer.c forward +
     get_region_box with DOABS=1, region_layer.c:78-90,179-210):
       bx = (cx + sigmoid(tx)) / gs,  bw = exp(tw) * anchor_w / gs
     (anchors in grid units, everything normalized to [0,1] then scaled to
     input-resolution pixels here to match `decode_head`'s convention);
-    objectness sigmoid; classes SOFTMAXed (v3 uses per-class sigmoid).
+    objectness sigmoid; classes SOFTMAXed when the cfg says softmax=1
+    (stock v2 cfgs do; v3 uses per-class sigmoid), else raw.
     Rows are emitted anchor-major like `decode_head` (ordering is not a
     contract — downstream selection is order-free)."""
     b, gs, _, _ = x_nhwc.shape
@@ -1172,7 +1196,7 @@ def decode_region_head(x_nhwc, anchors, num_classes, reso):
     bw = jnp.exp(x[..., 2]) * aw * scale
     bh = jnp.exp(x[..., 3]) * ah * scale
     obj = jax.nn.sigmoid(x[..., 4])
-    cls = jax.nn.softmax(x[..., 5:], axis=-1)
+    cls = jax.nn.softmax(x[..., 5:], axis=-1) if softmax else x[..., 5:]
     out = jnp.concatenate(
         [bx[..., None], by[..., None], bw[..., None], bh[..., None],
          obj[..., None], cls], axis=-1)
@@ -1322,7 +1346,8 @@ def forward(spec: NetworkSpec, params, x, reso: int, decode: bool = True,
             raw_heads.append(x)
             if decode:
                 decoded.append(
-                    decode_region_head(x, l.anchors, l.num_classes, reso))
+                    decode_region_head(x, l.anchors, l.num_classes, reso,
+                                       softmax=l.det_softmax))
             x = cache[i - 1]
         elif l.kind == "detection":
             raw_heads.append(x)

@@ -134,7 +134,8 @@ def train_from_data_cfg(data_path, cfg_path, weights_path=None,
             cur_reso, cur_reso)
         t0 = time.time()
         params, opt_state, m = steps_by_reso[cur_reso](
-            params, opt_state, aug_imgs, aug_truths)
+            params, opt_state, aug_imgs, aug_truths,
+            np.int32((it + 1) * global_batch))
         loss = float(m["loss"])
         if not np.isfinite(loss):
             # darknet NaN guard (detector.c:197): reset the average

@@ -190,29 +190,301 @@ def head_loss(raw, anchors, all_anchors, num_classes, net_w, net_h,
     return total, metrics
 
 
+def _last_writer(assign, site_keys):
+    """Darknet's sequential truth loop overwrites deltas when several GTs
+    claim the same site — the LAST valid writer wins.  assign: [B,T] bool;
+    site_keys: tuple of [B,T] int arrays identifying the site.  Returns
+    (is_last [B,T], any earlier/later collision helpers are local)."""
+    t_idx = jnp.arange(assign.shape[1])
+    later = t_idx[None, :] > t_idx[:, None]                     # [T,T]
+    same = assign[:, :, None] & assign[:, None, :]
+    for k in site_keys:
+        same = same & (k[:, :, None] == k[:, None, :])
+    overwritten = jnp.any(same & later[None], axis=2)           # [B,T]
+    return assign & ~overwritten
+
+
+def region_head_loss(raw, l, truths, seen=10**9):
+    """YOLOv2 [region] training loss — gradient-equivalent vectorization
+    of `forward_region_layer` (`region_layer.c:179-362`, DOABS=1,
+    classfix=0, no softmax_tree/map/focal — absent from stock cfgs).
+
+    darknet applies deltas to the layer INPUT with the logistic gradient
+    folded in, so (unlike v3's BCE) the v2 loss is SQUARED ERROR in
+    sigmoid space for x/y/obj and raw space for w/h; the softmax-class
+    delta `class_scale*(onehot - p)` written straight to the input is
+    exactly the cross-entropy gradient, so softmax classes use CE.
+
+    Semantics reproduced:
+    - per site: noobject 0.5*noobj*(0-sig(o))^2, zeroed where the
+      predicted box's best IoU over GTs > thresh (region_layer.c:268-281);
+    - seen < 12800 warmup: every site's box pulled toward its anchor
+      prior at (cell center) with scale .01 (region_layer.c:283-292);
+    - per GT (sequential, last-writer-wins on collisions): cell =
+      (floor(x*gw), floor(y*gh)); best of the n anchors by shape IoU —
+      against the anchor PRIOR when bias_match else the predicted w/h at
+      that cell (region_layer.c:316-336); box delta with coord_scale
+      (tw = log(w*gw/anchor), delta_region_box:93-111); objectness
+      target 1 (or stop-grad IoU when rescore); class one-hot
+      (delta_region_class:114-160).
+    raw: [B, gh, gw, nA*(5+nc)] pre-activation NHWC; truths [B,T,5]
+    normalized (x,y,w,h,cls), x==0 padding.  `seen` may be a python int
+    (warmup branch folds at trace time) or a traced scalar.
+    """
+    b, gh, gw, _ = raw.shape
+    na = len(l.anchors)
+    nc = l.num_classes
+    x = raw.reshape(b, gh, gw, na, 5 + nc).transpose(0, 3, 1, 2, 4)
+    # [B, nA, gh, gw, 5+nc] — anchor-major channel blocks, the same
+    # layout the decode uses (entry_index, region_layer.c:172-177)
+
+    sx = jax.nn.sigmoid(x[..., 0])
+    sy = jax.nn.sigmoid(x[..., 1])
+    zw, zh = x[..., 2], x[..., 3]
+    so = jax.nn.sigmoid(x[..., 4])
+    cls_z = x[..., 5:]
+
+    grid_x = jnp.arange(gw, dtype=jnp.float32)[None, None, None, :]
+    grid_y = jnp.arange(gh, dtype=jnp.float32)[None, None, :, None]
+    anc = jnp.asarray(l.anchors, jnp.float32)           # grid units
+    aw = anc[:, 0][None, :, None, None]
+    ah = anc[:, 1][None, :, None, None]
+
+    # get_region_box w/ DOABS (region_layer.c:78-90): normalized by GRID
+    px = (sx + grid_x) / gw
+    py = (sy + grid_y) / gh
+    pw = jnp.exp(jnp.clip(zw, -12.0, 12.0)) * aw / gw
+    ph = jnp.exp(jnp.clip(zh, -12.0, 12.0)) * ah / gh
+    pred = jnp.stack([px, py, pw, ph], axis=-1)
+
+    gt_valid = (truths[..., 0] != 0) & (truths[..., 4] < nc)
+    gt_boxes = truths[..., :4]
+    gt_cls = truths[..., 4].astype(jnp.int32)
+
+    ious = _iou_xywh(pred[..., None, :], gt_boxes[:, None, None, None, :, :])
+    ious = jnp.where(gt_valid[:, None, None, None, :], ious, 0.0)
+    best_iou = jnp.max(ious, axis=-1)                   # [B,nA,gh,gw]
+
+    # ---- per-GT assignment ----
+    ci = jnp.clip((gt_boxes[..., 0] * gw).astype(jnp.int32), 0, gw - 1)
+    cj = jnp.clip((gt_boxes[..., 1] * gh).astype(jnp.int32), 0, gh - 1)
+    bi = jnp.arange(b)[:, None]
+    # candidate shapes at the GT's cell: anchor priors (bias_match) or the
+    # predicted w/h there (region_layer.c:318-330)
+    if l.bias_match:
+        cand_w = jnp.broadcast_to((anc[:, 0] / gw)[None, None, :],
+                                  (b, truths.shape[1], na))
+        cand_h = jnp.broadcast_to((anc[:, 1] / gh)[None, None, :],
+                                  (b, truths.shape[1], na))
+    else:
+        cand_w = pw.transpose(0, 2, 3, 1)[bi, cj, ci]   # [B,T,nA]
+        cand_h = ph.transpose(0, 2, 3, 1)[bi, cj, ci]
+    shape = jnp.stack([jnp.zeros_like(cand_w), jnp.zeros_like(cand_w),
+                       cand_w, cand_h], axis=-1)        # [B,T,nA,4]
+    gt_shift = gt_boxes.at[..., :2].set(0.0)
+    best_n = jnp.argmax(_iou_xywh(shape, gt_shift[:, :, None, :]),
+                        axis=-1)                        # [B,T]
+
+    is_last = _last_writer(gt_valid, (best_n, cj, ci))
+    m = is_last.astype(jnp.float32)
+
+    an = best_n
+    z_x = sx[bi, an, cj, ci]
+    z_y = sy[bi, an, cj, ci]
+    z_w = zw[bi, an, cj, ci]
+    z_h = zh[bi, an, cj, ci]
+    z_o = so[bi, an, cj, ci]
+    z_c = cls_z[bi, an, cj, ci]                         # [B,T,nc]
+
+    t_x = gt_boxes[..., 0] * gw - ci
+    t_y = gt_boxes[..., 1] * gh - cj
+    anc_bt = anc[an]                                    # [B,T,2]
+    t_w = jnp.log(jnp.maximum(gt_boxes[..., 2] * gw, 1e-9)
+                  / jnp.maximum(anc_bt[..., 0], 1e-9))
+    t_h = jnp.log(jnp.maximum(gt_boxes[..., 3] * gh, 1e-9)
+                  / jnp.maximum(anc_bt[..., 1], 1e-9))
+
+    coord_loss = jnp.sum(m * 0.5 * l.coord_scale * (
+        (t_x - z_x) ** 2 + (t_y - z_y) ** 2
+        + (t_w - z_w) ** 2 + (t_h - z_h) ** 2))
+
+    iou_at = _iou_xywh(pred[bi, an, cj, ci], gt_boxes)  # [B,T]
+    obj_target = (jax.lax.stop_gradient(iou_at) if l.rescore
+                  else jnp.ones_like(iou_at))
+    obj_pos_loss = jnp.sum(m * 0.5 * l.object_scale
+                           * (obj_target - z_o) ** 2)
+
+    onehot = jax.nn.one_hot(gt_cls, nc)
+    if l.det_softmax:
+        # delta class_scale*(onehot - softmax) on the input == CE grad
+        cls_loss = jnp.sum(
+            m * l.class_scale
+            * -jnp.sum(onehot * jax.nn.log_softmax(z_c), axis=-1))
+    else:
+        cls_loss = jnp.sum(m[..., None] * 0.5 * l.class_scale
+                           * (onehot - z_c) ** 2)
+
+    # sites claimed by ANY GT: their noobj/warmup deltas are overwritten
+    claimed = jnp.zeros((b, na, gh, gw), bool).at[bi, an, cj, ci].max(
+        gt_valid)
+    free = (~claimed).astype(jnp.float32)
+
+    noobj_keep = jnp.where(best_iou > l.ignore_thresh, 0.0, 1.0)
+    noobj_loss = jnp.sum(free * noobj_keep * 0.5 * l.noobject_scale
+                         * so ** 2)
+
+    warm_on = (jnp.asarray(seen) < 12800).astype(jnp.float32)
+    warm_loss = warm_on * jnp.sum(free * 0.5 * 0.01 * (
+        (0.5 - sx) ** 2 + (0.5 - sy) ** 2 + zw ** 2 + zh ** 2))
+
+    total = coord_loss + obj_pos_loss + cls_loss + noobj_loss + warm_loss
+    n_assign = jnp.sum(gt_valid.astype(jnp.float32))
+    metrics = {
+        "coord": coord_loss, "obj": obj_pos_loss, "cls": cls_loss,
+        "noobj": noobj_loss, "count": n_assign,
+        "avg_iou": jnp.sum(jnp.where(gt_valid, iou_at, 0.0))
+        / jnp.maximum(n_assign, 1.0),
+        "recall": jnp.sum(jnp.where(gt_valid, (iou_at > 0.5), False)
+                          .astype(jnp.float32))
+        / jnp.maximum(n_assign, 1.0),
+    }
+    return total, metrics
+
+
+def detection_head_loss(x_prev, l, truths):
+    """YOLOv1 [detection] training loss — gradient-equivalent
+    vectorization of `forward_detection_layer` (`detection_layer.c:
+    49-218`; forced/random out of scope — absent from stock v1 cfgs).
+
+    All outputs are raw (no sigmoids in v1); deltas are plain
+    (target - output), so every term is squared error — except softmax
+    classes where the delta written to the input is the CE gradient
+    (same situation as [region]).
+
+    Truth conversion: darknet feeds a dense per-cell truth layout built
+    by fill_truth_region (`data.c:260-300`): FIRST box to claim a cell
+    wins, boxes with w or h < .001 skipped, class one-hot zeroed when
+    id >= classes.  Reproduced here from the padded [B,T,5] box list.
+
+    Per obj cell (detection_layer.c:95-181): class deltas; best of the
+    `num` boxes by IoU in the cell-relative frame (x/side, no col/row
+    offset) — or by min RMSE while every IoU is zero; objectness target
+    1 (stop-grad IoU when rescore) at the best box, its noobject term
+    removed; coord deltas with coord_scale (sqrt(w) targets when sqrt).
+    """
+    s, n, nc = l.side, l.num, l.num_classes
+    sc = s * s
+    b = x_prev.shape[0]
+    flat = (x_prev.transpose(0, 3, 1, 2).reshape(b, -1)
+            if x_prev.ndim == 4 else x_prev.reshape(b, -1))
+    flat = flat.astype(jnp.float32)
+    cls_z = flat[:, :sc * nc].reshape(b, sc, nc)
+    obj = flat[:, sc * nc:sc * (nc + n)].reshape(b, sc, n)
+    boxes = flat[:, sc * (nc + n):sc * (nc + n) + sc * n * 4]
+    boxes = boxes.reshape(b, sc, n, 4)
+
+    # ---- dense truth from the box list (fill_truth_region) ----
+    T = truths.shape[1]
+    gt_valid = ((truths[..., 0] != 0)
+                & (truths[..., 2] >= 0.001) & (truths[..., 3] >= 0.001))
+    col = jnp.clip((truths[..., 0] * s).astype(jnp.int32), 0, s - 1)
+    row = jnp.clip((truths[..., 1] * s).astype(jnp.int32), 0, s - 1)
+    cell = row * s + col                                 # [B,T]
+    t_idx = jnp.arange(T)
+    earlier = t_idx[None, :] < t_idx[:, None]            # [T,T]
+    same_cell = (gt_valid[:, :, None] & gt_valid[:, None, :]
+                 & (cell[:, :, None] == cell[:, None, :]))
+    wins = gt_valid & ~jnp.any(same_cell & earlier[None], axis=2)
+
+    w1 = wins.astype(jnp.float32)
+    cell_oh = jax.nn.one_hot(cell, sc) * w1[..., None]   # [B,T,sc]
+    is_obj = jnp.max(cell_oh, axis=1)                    # [B,sc]
+    gt_cls = truths[..., 4].astype(jnp.int32)
+    cls_oh = jax.nn.one_hot(gt_cls, nc) * (gt_cls < nc)[..., None]
+    t_cls = jnp.einsum("btc,btk->bck", cell_oh, cls_oh)  # [B,sc,nc]
+    tx = truths[..., 0] * s - col
+    ty = truths[..., 1] * s - row
+    t_box = jnp.einsum("btc,btk->bck", cell_oh, jnp.stack(
+        [tx, ty, truths[..., 2], truths[..., 3]], axis=-1))  # [B,sc,4]
+
+    # ---- noobject everywhere (minus best-box slots, removed below) ----
+    noobj_all = 0.5 * l.noobject_scale * obj ** 2        # [B,sc,n]
+
+    # ---- class loss at obj cells ----
+    if l.det_softmax:
+        # lse(z) - t.z == CE for one-hot t, but its gradient (p - t)
+        # also matches darknet's delta when t is all-zero (a truth with
+        # id >= classes still claims the cell, fill_truth_region:292)
+        cls_loss = jnp.sum(is_obj * l.class_scale * (
+            jax.nn.logsumexp(cls_z, axis=-1)
+            - jnp.sum(t_cls * cls_z, axis=-1)))
+    else:
+        cls_loss = jnp.sum(is_obj[..., None] * 0.5 * l.class_scale
+                           * (t_cls - cls_z) ** 2)
+
+    # ---- best box per obj cell (cell-relative frame, /side) ----
+    out_xy = boxes[..., :2] / s
+    out_wh = boxes[..., 2:] ** 2 if l.det_sqrt else boxes[..., 2:]
+    out_box = jnp.concatenate([out_xy, out_wh], axis=-1)  # [B,sc,n,4]
+    tb = t_box.at[..., :2].divide(s)[:, :, None, :]       # [B,sc,1,4]
+    iou = _iou_xywh(out_box, tb)                          # [B,sc,n]
+    rmse = jnp.sqrt(jnp.sum((out_box - tb) ** 2, axis=-1))
+    any_iou = jnp.max(iou, axis=-1) > 0
+    best = jnp.where(any_iou, jnp.argmax(iou, axis=-1),
+                     jnp.argmin(rmse, axis=-1))           # [B,sc]
+    best_oh = jax.nn.one_hot(best, n) * is_obj[..., None]  # [B,sc,n]
+
+    iou_b = jnp.take_along_axis(iou, best[..., None], axis=-1)[..., 0]
+    obj_b = jnp.take_along_axis(obj, best[..., None], axis=-1)[..., 0]
+    o_target = (jax.lax.stop_gradient(iou_b) if l.rescore
+                else jnp.ones_like(iou_b))
+    obj_loss = jnp.sum(is_obj * 0.5 * l.object_scale
+                       * (o_target - obj_b) ** 2)
+    noobj_loss = jnp.sum(noobj_all) - jnp.sum(best_oh * noobj_all)
+
+    box_b = jnp.take_along_axis(
+        boxes, best[..., None, None].repeat(4, -1), axis=2)[:, :, 0, :]
+    t_reg = (t_box.at[..., 2:].set(jnp.sqrt(t_box[..., 2:]))
+             if l.det_sqrt else t_box)
+    coord_loss = jnp.sum(is_obj[..., None] * 0.5 * l.coord_scale
+                         * (t_reg - box_b) ** 2)
+
+    total = cls_loss + obj_loss + noobj_loss + coord_loss
+    n_obj = jnp.sum(is_obj)
+    metrics = {
+        "coord": coord_loss, "obj": obj_loss, "cls": cls_loss,
+        "noobj": noobj_loss, "count": n_obj,
+        "avg_iou": jnp.sum(is_obj * iou_b) / jnp.maximum(n_obj, 1.0),
+    }
+    return total, metrics
+
+
 def yolo_loss(spec, params, images, truths, net_w, net_h,
-              ignore_thresh=0.7, train=True, bn_stats=None):
-    """Total loss over all heads.  images: [B,H,W,3]; truths [B,T,5].
-    train=True uses batch-stat BN (darknet training semantics)."""
+              ignore_thresh=0.7, train=True, bn_stats=None, seen=10**9):
+    """Total loss over all detector heads ([yolo], [region], [detection]).
+    images: [B,H,W,3]; truths [B,T,5] normalized (x,y,w,h,cls), x==0
+    padding.  train=True uses batch-stat BN (darknet training semantics).
+    `seen` (images consumed so far) drives [region]'s <12800 warmup; v3
+    heads ignore it."""
     from betapose_tpu.models import yolov3 as yolo_mod
 
-    if not spec.yolo_idxs and any(
-            l.kind in ("region", "detection") for l in spec.layers):
-        raise NotImplementedError(
-            "training losses for YOLOv1 [detection] / YOLOv2 [region] "
-            "heads are not implemented — inference/decode only "
-            "(detection_layer.c / region_layer.c train branches); "
-            "Betapose trains [yolo] heads")
     raw_heads = yolo_mod.forward(spec, params, images, net_w, decode=False,
                                  train=train, bn_stats=bn_stats)
-    head_specs = [spec.layers[i] for i in spec.yolo_idxs]
-    all_anchors = _canonical_anchor_order(head_specs)
+    head_specs = [spec.layers[i] for i, l in enumerate(spec.layers)
+                  if l.kind in ("yolo", "region", "detection")]
+    yolo_specs = [hs for hs in head_specs if hs.kind == "yolo"]
+    all_anchors = _canonical_anchor_order(yolo_specs)
 
     total = 0.0
     metrics = {}
     for k, (raw, hs) in enumerate(zip(raw_heads, head_specs)):
-        li, m = head_loss(raw, hs.anchors, all_anchors, hs.num_classes,
-                          net_w, net_h, truths, hs.ignore_thresh)
+        if hs.kind == "yolo":
+            li, m = head_loss(raw, hs.anchors, all_anchors, hs.num_classes,
+                              net_w, net_h, truths, hs.ignore_thresh)
+        elif hs.kind == "region":
+            li, m = region_head_loss(raw, hs, truths, seen=seen)
+        else:
+            li, m = detection_head_loss(raw, hs, truths)
         total = total + li
         for mk, mv in m.items():
             metrics[f"head{k}/{mk}"] = mv

@@ -254,7 +254,10 @@ def augment_detection_batch(key, imgs, truths, cfg: YoloTrainConfig,
 
 def make_train_step(spec, tx, net_w: int, net_h: int, donate: bool = True):
     @functools.partial(jax.jit, donate_argnums=(0, 1) if donate else ())
-    def train_step(params, opt_state, images, truths):
+    def train_step(params, opt_state, images, truths, seen=10**9):
+        # `seen` (images consumed, traced scalar) drives [region]'s
+        # <12800-image warmup; [yolo] heads ignore it.  The python-int
+        # default folds to the post-warmup branch.
         def loss_fn(p):
             bn_stats = {}
             # TPU matmuls default to bfloat16 inputs; training needs f32
@@ -265,7 +268,7 @@ def make_train_step(spec, tx, net_w: int, net_h: int, donate: bool = True):
             with jax.default_matmul_precision("float32"):
                 loss, metrics = yolo_loss(spec, p, images, truths,
                                           net_w, net_h, train=True,
-                                          bn_stats=bn_stats)
+                                          bn_stats=bn_stats, seen=seen)
             return loss, (metrics, bn_stats)
 
         (loss, (metrics, bn_stats)), grads = jax.value_and_grad(

@@ -634,14 +634,26 @@ jitter=.2
         cls = got[:, 5:]
         np.testing.assert_allclose(cls.sum(axis=1), 1.0, rtol=1e-5)
 
-    def test_train_loss_rejects_v1_head(self):
+    def test_train_loss_v1_head(self):
+        # v1 heads train now (detection_layer.c loss; oracle coverage in
+        # tests/test_v1v2_loss.py) — finite loss with flowing gradients
         from betapose_tpu.train.yolo_loss import yolo_loss
         spec = yolov3.build_spec(self.V1_CFG)
         params = yolov3.init_params(jax.random.PRNGKey(0), spec)
-        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
-        truths = jnp.zeros((1, 4, 5), jnp.float32)
-        with pytest.raises(NotImplementedError, match="detection"):
-            yolo_loss(spec, params, x, truths, 64, 64)
+        x = jnp.asarray(np.random.RandomState(0).rand(
+            1, 64, 64, 3).astype(np.float32))
+        truths = np.zeros((1, 4, 5), np.float32)
+        truths[0, 0] = [0.4, 0.6, 0.3, 0.25, 1]
+        loss, metrics = yolo_loss(spec, params, x, jnp.asarray(truths),
+                                  64, 64, train=False)
+        assert np.isfinite(float(loss))
+        assert float(metrics["head0/count"]) == 1.0
+        g = jax.grad(lambda p: yolo_loss(
+            spec, p, x, jnp.asarray(truths), 64, 64, train=False)[0]
+        )(params)
+        gn = sum(float(jnp.sum(jnp.abs(v)))
+                 for v in jax.tree_util.tree_leaves(g))
+        assert np.isfinite(gn) and gn > 0
 
 
 DARKNET_TAIL_CFG = """
