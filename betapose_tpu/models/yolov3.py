@@ -86,6 +86,8 @@ class LayerSpec:
     rnn_logistic: int = 0       # self-layer activation: 1=LOGISTIC 2=LOGGY
     # reorg_old (reorg_old_layer.c)
     reverse: bool = False
+    # dropout (dropout_layer.c; parse_dropout probability default .5)
+    dropout_p: float = 0.5
 
 
 @dataclasses.dataclass(frozen=True)
@@ -210,9 +212,12 @@ def build_spec(cfg) -> NetworkSpec:
             out_channels.append(outputs)
             dims.append((1, 1))
         elif t == "dropout":
-            # inference is a no-op (forward_dropout_layer only acts when
-            # net.train); training dropout is not plumbed — documented
-            layers.append(LayerSpec("dropout", cin))
+            # inference is a no-op; training applies inverted dropout
+            # (forward_dropout_layer: drop with prob p, scale survivors
+            # by 1/(1-p)) when forward() gets a dropout_key
+            layers.append(LayerSpec(
+                "dropout", cin,
+                dropout_p=float(b.get("probability", 0.5))))
             out_channels.append(cin)
             dims.append((cur_h, cur_w))
         elif t == "crop":
@@ -1277,13 +1282,16 @@ def decode_head(x_nhwc, anchors, num_classes, reso):
 
 
 def forward(spec: NetworkSpec, params, x, reso: int, decode: bool = True,
-            train: bool = False, bn_stats=None):
+            train: bool = False, bn_stats=None, dropout_key=None):
     """Run the network. x: [B, H, W, 3] (H == W == reso).
 
     Returns decoded detections [B, nBoxes, 5+nC] if decode else the list of
     raw yolo-head feature maps (for the training loss).  train=True uses
     batch-stat BN and records per-layer stats into `bn_stats` (dict keyed by
     layer index) for rolling updates (see `apply_bn_updates`).
+    dropout_key (with train=True) activates [dropout] layers with
+    darknet's inverted semantics (forward_dropout_layer: drop w/ prob p,
+    survivors scaled 1/(1-p)); without a key they stay identity.
     """
     if train and any(l.kind in ("rnn", "crnn", "gru") for l in spec.layers):
         raise ValueError(
@@ -1315,8 +1323,16 @@ def forward(spec: NetworkSpec, params, x, reso: int, decode: bool = True,
                                  path=i)
         elif l.kind == "softmax":
             x = jax.nn.softmax(x.astype(jnp.float32), axis=-1).astype(x.dtype)
-        elif l.kind in ("dropout", "cost"):
-            pass  # identity at inference (forward_dropout/cost gate on train)
+        elif l.kind == "dropout":
+            if train and dropout_key is not None and l.dropout_p > 0:
+                keep = jax.random.bernoulli(
+                    jax.random.fold_in(dropout_key, i),
+                    1.0 - l.dropout_p, x.shape)
+                x = jnp.where(keep, x / (1.0 - l.dropout_p),
+                              jnp.zeros((), x.dtype)).astype(x.dtype)
+            # else identity (inference, or no key supplied)
+        elif l.kind == "cost":
+            pass  # training-only bookkeeping; identity in the graph
         elif l.kind == "crop":
             x = _crop_layer(l, x)
         elif l.kind == "normalization":

@@ -101,6 +101,7 @@ def train_from_data_cfg(data_path, cfg_path, weights_path=None,
         r: yolo_train.make_train_step(spec, tx, r, r, donate=False)
         for r in buckets}
     print(f"resolution buckets: {buckets}")
+    has_dropout = any(l.kind == "dropout" for l in spec.layers)
 
     paths, truths = yolo_train.load_darknet_labels(
         opts["train"], max_boxes=tcfg.max_boxes)
@@ -126,7 +127,7 @@ def train_from_data_cfg(data_path, cfg_path, weights_path=None,
             cur_reso = buckets[rng.integers(len(buckets))]
         idxs = rng.integers(0, len(paths), global_batch)
         imgs_host, truths_host = load_batch(idxs)
-        key, k1 = jax.random.split(key)
+        key, k1, k_drop = jax.random.split(key, 3)
         batch_dev = mesh_mod.shard_batch(mesh, {
             "imgs": imgs_host, "truths": truths_host})
         aug_imgs, aug_truths = yolo_train.augment_detection_batch(
@@ -135,7 +136,8 @@ def train_from_data_cfg(data_path, cfg_path, weights_path=None,
         t0 = time.time()
         params, opt_state, m = steps_by_reso[cur_reso](
             params, opt_state, aug_imgs, aug_truths,
-            np.int32((it + 1) * global_batch))
+            np.int32((it + 1) * global_batch),
+            dropout_key=(k_drop if has_dropout else None))
         loss = float(m["loss"])
         if not np.isfinite(loss):
             # darknet NaN guard (detector.c:197): reset the average

@@ -460,16 +460,18 @@ def detection_head_loss(x_prev, l, truths):
 
 
 def yolo_loss(spec, params, images, truths, net_w, net_h,
-              ignore_thresh=0.7, train=True, bn_stats=None, seen=10**9):
+              ignore_thresh=0.7, train=True, bn_stats=None, seen=10**9,
+              dropout_key=None):
     """Total loss over all detector heads ([yolo], [region], [detection]).
     images: [B,H,W,3]; truths [B,T,5] normalized (x,y,w,h,cls), x==0
     padding.  train=True uses batch-stat BN (darknet training semantics).
     `seen` (images consumed so far) drives [region]'s <12800 warmup; v3
-    heads ignore it."""
+    heads ignore it.  dropout_key activates [dropout] layers (v1 cfgs)."""
     from betapose_tpu.models import yolov3 as yolo_mod
 
     raw_heads = yolo_mod.forward(spec, params, images, net_w, decode=False,
-                                 train=train, bn_stats=bn_stats)
+                                 train=train, bn_stats=bn_stats,
+                                 dropout_key=dropout_key)
     head_specs = [spec.layers[i] for i, l in enumerate(spec.layers)
                   if l.kind in ("yolo", "region", "detection")]
     yolo_specs = [hs for hs in head_specs if hs.kind == "yolo"]

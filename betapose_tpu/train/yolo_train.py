@@ -254,10 +254,12 @@ def augment_detection_batch(key, imgs, truths, cfg: YoloTrainConfig,
 
 def make_train_step(spec, tx, net_w: int, net_h: int, donate: bool = True):
     @functools.partial(jax.jit, donate_argnums=(0, 1) if donate else ())
-    def train_step(params, opt_state, images, truths, seen=10**9):
+    def train_step(params, opt_state, images, truths, seen=10**9,
+                   dropout_key=None):
         # `seen` (images consumed, traced scalar) drives [region]'s
         # <12800-image warmup; [yolo] heads ignore it.  The python-int
-        # default folds to the post-warmup branch.
+        # default folds to the post-warmup branch.  dropout_key activates
+        # [dropout] layers (v1 classifier-style cfgs); None = identity.
         def loss_fn(p):
             bn_stats = {}
             # TPU matmuls default to bfloat16 inputs; training needs f32
@@ -268,7 +270,8 @@ def make_train_step(spec, tx, net_w: int, net_h: int, donate: bool = True):
             with jax.default_matmul_precision("float32"):
                 loss, metrics = yolo_loss(spec, p, images, truths,
                                           net_w, net_h, train=True,
-                                          bn_stats=bn_stats, seen=seen)
+                                          bn_stats=bn_stats, seen=seen,
+                                          dropout_key=dropout_key)
             return loss, (metrics, bn_stats)
 
         (loss, (metrics, bn_stats)), grads = jax.value_and_grad(

@@ -1262,3 +1262,38 @@ activation=linear
         for a, b in zip(jax.tree_util.tree_leaves(params),
                         jax.tree_util.tree_leaves(loaded)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestDropoutTraining:
+    """[dropout] training semantics (dropout_layer.c forward: drop with
+    prob p, survivors scaled 1/(1-p); identity at inference or when no
+    key is supplied)."""
+
+    CFG = ("[net]\nwidth=4\nheight=4\nchannels=3\n\n"
+           "[dropout]\nprobability=0.3\n")
+
+    def test_inference_identity_and_train_mask(self):
+        spec = yolov3.build_spec(self.CFG)
+        assert spec.layers[0].dropout_p == 0.3
+        params = yolov3.init_params(jax.random.PRNGKey(0), spec)
+        x = np.random.RandomState(0).rand(64, 4, 4, 3).astype(
+            np.float32) + 1.0
+        xj = jnp.asarray(x)
+        # no key (or train=False) -> identity
+        np.testing.assert_array_equal(
+            np.asarray(yolov3.forward(spec, params, xj, 4, train=True)), x)
+        np.testing.assert_array_equal(
+            np.asarray(yolov3.forward(
+                spec, params, xj, 4,
+                dropout_key=jax.random.PRNGKey(1))), x)
+        # train + key: zeros at drop rate, survivors scaled by 1/(1-p)
+        out = np.asarray(yolov3.forward(
+            spec, params, xj, 4, train=True,
+            dropout_key=jax.random.PRNGKey(1)))
+        dropped = out == 0
+        rate = dropped.mean()
+        assert 0.2 < rate < 0.4          # ~p over 3072 units
+        np.testing.assert_allclose(out[~dropped], x[~dropped] / 0.7,
+                                   rtol=1e-6)
+        # E[out] ~= E[x] (inverted dropout preserves expectation)
+        assert abs(out.mean() - x.mean()) < 0.1 * x.mean()
