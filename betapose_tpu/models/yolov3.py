@@ -88,6 +88,10 @@ class LayerSpec:
     reverse: bool = False
     # dropout (dropout_layer.c; parse_dropout probability default .5)
     dropout_p: float = 0.5
+    # cost (cost_layer.c; parse_cost: type default "sse", scale default 1;
+    # scale multiplies only the backward delta, never the reported cost)
+    cost_type: str = "sse"
+    cost_scale: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -326,8 +330,12 @@ def build_spec(cfg) -> NetworkSpec:
             out_channels.append(cin)
             dims.append((cur_h, cur_w))
         elif t == "cost":
-            # training-only objective bookkeeping; identity at inference
-            layers.append(LayerSpec("cost", cin))
+            # training objective (cost_layer.c): identity in the forward
+            # graph; classifier_train reads type/scale off this spec
+            layers.append(LayerSpec(
+                "cost", cin,
+                cost_type=str(b.get("type", "sse")),
+                cost_scale=float(b.get("scale", 1.0))))
             out_channels.append(cin)
             dims.append((cur_h, cur_w))
         elif t in ("reorg", "reorg_old"):
@@ -1281,6 +1289,28 @@ def decode_head(x_nhwc, anchors, num_classes, reso):
     return out.reshape(b, na * gs * gs, attrs)
 
 
+@jax.custom_vjp
+def _darknet_softmax(x):
+    """[softmax] forward with darknet's backward: backward_softmax_layer
+    (softmax_layer.c:63-69) adds the incoming delta STRAIGHT THROUGH to the
+    previous layer — no softmax Jacobian.  With the [cost sse] delta
+    (truth - pred) this makes the effective logit gradient scale*(pred -
+    truth), i.e. exactly softmax-cross-entropy's gradient for one-hot truth
+    while the reported loss stays SSE (see train/classifier_train.py)."""
+    return jax.nn.softmax(x, axis=-1)
+
+
+def _darknet_softmax_fwd(x):
+    return jax.nn.softmax(x, axis=-1), None
+
+
+def _darknet_softmax_bwd(_, g):
+    return (g,)
+
+
+_darknet_softmax.defvjp(_darknet_softmax_fwd, _darknet_softmax_bwd)
+
+
 def forward(spec: NetworkSpec, params, x, reso: int, decode: bool = True,
             train: bool = False, bn_stats=None, dropout_key=None):
     """Run the network. x: [B, H, W, 3] (H == W == reso).
@@ -1322,7 +1352,7 @@ def forward(spec: NetworkSpec, params, x, reso: int, decode: bool = True,
             x = _connected_layer(l, p, x, train=train, bn_stats=bn_stats,
                                  path=i)
         elif l.kind == "softmax":
-            x = jax.nn.softmax(x.astype(jnp.float32), axis=-1).astype(x.dtype)
+            x = _darknet_softmax(x.astype(jnp.float32)).astype(x.dtype)
         elif l.kind == "dropout":
             if train and dropout_key is not None and l.dropout_p > 0:
                 keep = jax.random.bernoulli(

@@ -10,6 +10,9 @@ Counterpart of the vendored darknet's command surface
   python -m betapose_tpu.tools.darknet_cli detector map    <data> <cfg> <weights> [-iou_thresh .25]
   python -m betapose_tpu.tools.darknet_cli detector demo   <data> <cfg> <weights> [video] [-out_filename o.avi] [-c 0] [-max_frames N]
   python -m betapose_tpu.tools.darknet_cli partial <cfg> <weights> <out> <cutoff>
+  python -m betapose_tpu.tools.darknet_cli classifier train   <data> <cfg> [weights] [-clear] [-gpus 0,1]
+  python -m betapose_tpu.tools.darknet_cli classifier predict <data> <cfg> <weights> <image> [-t N]
+  python -m betapose_tpu.tools.darknet_cli classifier valid   <data> <cfg> <weights> [-t N]
 
 .data files are the same key=value format (`option_list.c read_data_cfg`):
 classes/train/valid/names/backup.  .cfg files are stock darknet network
@@ -355,6 +358,86 @@ def cmd_valid(data, cfg, weights, thresh=0.005, out_dir="results"):
     print(f"{out_dir}/ written")
 
 
+def cmd_classifier_predict(data, cfg, weights, image, top=0):
+    """predict_classifier (`classifier.c:715-770`): letterbox the image to
+    net dims (fill .5, image.c letterbox_image), forward, print the top-k
+    `name: prob` lines."""
+    import jax
+    import jax.numpy as jnp
+    from betapose_tpu.models import yolov3 as yolo_mod
+    from betapose_tpu.ops.image import letterbox
+    from betapose_tpu.data.loader import imread_rgb
+
+    opts = read_data_cfg(data)
+    names_path = opts.get("names") or opts.get("labels", "")
+    names = ([ln.strip() for ln in open(names_path)]
+             if names_path and os.path.exists(names_path) else [])
+    classes = int(opts.get("classes", len(names) or 2))
+    if top == 0:
+        top = int(opts.get("top", 1))
+    top = min(top, classes)
+
+    spec, params, reso = _load_model(cfg, weights)
+    folded = yolo_mod.fold_bn(spec, params)
+    im = imread_rgb(image).astype(np.float32) / 255.0
+    x = letterbox(jnp.asarray(im), reso, reso, fill=0.5)[None]
+    pred = np.asarray(jax.jit(
+        lambda v: yolo_mod.forward(spec, folded, v, reso))(x)).reshape(-1)
+    order = np.argsort(-pred)[:top]
+    for idx in order:
+        name = names[idx] if idx < len(names) else str(idx)
+        print(f"{name}: {pred[idx]:f}")
+    return [(int(i), float(pred[i])) for i in order]
+
+
+def cmd_classifier_valid(data, cfg, weights, top=None):
+    """validate_classifier_single (`classifier.c:504-565`): resize_min to
+    net width, center-crop net.w x net.h, forward, running top-1/top-k
+    accuracy prints; class id from the first substring-matching label."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    from betapose_tpu.models import yolov3 as yolo_mod
+    from betapose_tpu.train.classifier_train import path_class_id
+    from betapose_tpu.data.loader import imread_rgb
+
+    opts = read_data_cfg(data)
+    labels = [ln.strip() for ln in open(opts["labels"]) if ln.strip()]
+    paths = [ln.strip()
+             for ln in open(opts.get("valid", opts.get("train")))
+             if ln.strip()]
+    classes = int(opts.get("classes", len(labels)))
+    topk = top if top else int(opts.get("top", 1))
+    topk = min(topk, classes)
+
+    spec, params, reso = _load_model(cfg, weights)
+    folded = yolo_mod.fold_bn(spec, params)
+    infer = jax.jit(lambda v: yolo_mod.forward(spec, folded, v, reso))
+
+    avg_acc = avg_topk = 0.0
+    for i, p in enumerate(paths):
+        class_id = path_class_id(p, labels)
+        im = imread_rgb(p).astype(np.float32) / 255.0
+        h, w = im.shape[:2]
+        # resize_min (image.c:1430): short side -> net.w, int arithmetic
+        if w < h:
+            nw, nh = reso, (h * reso) // w
+        else:
+            nw, nh = (w * reso) // h, reso
+        im = cv2.resize(im, (nw, nh))
+        t0, l0 = (nh - reso) // 2, (nw - reso) // 2
+        crop = im[t0:t0 + reso, l0:l0 + reso]
+        pred = np.asarray(infer(jnp.asarray(crop)[None])).reshape(-1)
+        order = np.argsort(-pred)[:topk]
+        if order[0] == class_id:
+            avg_acc += 1
+        if class_id in order:
+            avg_topk += 1
+        print(f"{i}: top 1: {avg_acc / (i + 1):f}, top {topk}: "
+              f"{avg_topk / (i + 1):f}")
+    return avg_acc / max(len(paths), 1)
+
+
 def cmd_partial(cfg, weights, out, cutoff: int):
     """darknet weight surgery `partial` (darknet.c): write the first
     `cutoff` layers to a new .weights file (backbone extraction)."""
@@ -368,9 +451,10 @@ def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv and argv[0] == "partial":
         return cmd_partial(argv[1], argv[2], argv[3], int(argv[4]))
-    if len(argv) < 2 or argv[0] != "detector":
+    if len(argv) < 2 or argv[0] not in ("detector", "classifier"):
         print(__doc__)
         return 1
+    family = argv[0]
     verb = argv[1]
     # boolean flags take no value (darknet find_arg vs find_char_arg,
     # utils.c) — '-clear' mid-line must not swallow a positional, and a
@@ -392,6 +476,26 @@ def main(argv=None):
         else:
             pos.append(rest[i])
             i += 1
+
+    if family == "classifier":
+        # run_classifier (classifier.c:1182-1235), live sub-verbs
+        if verb == "train":
+            from betapose_tpu.train.classifier_train import \
+                train_from_data_cfg as train_cls
+            n_dev = len(flags.get("gpus", "0").split(","))
+            return train_cls(pos[0], pos[1],
+                             pos[2] if len(pos) > 2 else None,
+                             clear="clear" in flags, n_devices=n_dev)
+        if verb == "predict":
+            return cmd_classifier_predict(
+                pos[0], pos[1], pos[2], pos[3],
+                top=int(flags.get("t", 0)))
+        if verb == "valid":
+            return cmd_classifier_valid(
+                pos[0], pos[1], pos[2],
+                top=int(flags["t"]) if "t" in flags else None)
+        print(f"unknown classifier verb {verb}")
+        return 1
 
     if verb == "train":
         from betapose_tpu.train.train_yolo_main import train_from_data_cfg
