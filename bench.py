@@ -166,6 +166,19 @@ def main():
             pass
         decode_procs_fps = len(paths) / (time.perf_counter() - t0)
 
+        # ... native C++ ring loader (libpng/libjpeg workers, no GIL/IPC;
+        # scales with host cores where the Python pools can't) ...
+        from betapose_tpu.native import loader as native_mod
+        decode_native_fps = None
+        if native_mod.available():
+            for fr in native_mod.NativeLoader(paths[:batch], batch):
+                pass  # warm: page cache + ring allocation
+            t0 = time.perf_counter()
+            for fr in native_mod.NativeLoader(paths, batch,
+                                              workers=pworkers):
+                pass
+            decode_native_fps = len(paths) / (time.perf_counter() - t0)
+
         # ... and the pre-decoded memmap cache (decode once, then serve at
         # memory bandwidth — the feed mode that outruns any chip)
         cache = FrameCache(paths, os.path.join(pool_dir, "frames_cache.npy"))
@@ -179,6 +192,8 @@ def main():
         feed_modes = {"decode_threads": decode_threads_fps,
                       "decode_procs": decode_procs_fps,
                       "cache": cached_feed_fps}
+        if decode_native_fps is not None:
+            feed_modes["decode_native"] = decode_native_fps
         host_feed_mode = max(feed_modes, key=feed_modes.get)
         host_feed_fps = feed_modes[host_feed_mode]
 
@@ -223,6 +238,8 @@ def main():
         "host_feed_mode": host_feed_mode,
         "host_decode_fps": round(decode_threads_fps, 2),
         "host_decode_procs_fps": round(decode_procs_fps, 2),
+        "host_decode_native_fps": (round(decode_native_fps, 2)
+                                   if decode_native_fps else None),
         "cached_feed_fps": round(cached_feed_fps, 2),
         "host_cpus": os.cpu_count(),
         "h2d_mbps": round(h2d_mbps, 1),

@@ -79,6 +79,7 @@ class RuntimeConfig:
     video: str = ""
     webcam: str = "0"
     save_video: bool = False
+    host_loader: str = "auto"         # auto | native | threads | procs
 
 
 @dataclasses.dataclass
@@ -146,6 +147,7 @@ class Config:
         r.video = args.video
         r.webcam = args.webcam
         r.save_video = args.save_video
+        r.host_loader = getattr(args, "host_loader", "auto")
         return c
 
 
@@ -242,6 +244,12 @@ def make_parser(description: str = "Betapose-TPU") -> argparse.ArgumentParser:
                    help="weight PnP correspondences by keypoint-score**p "
                         "(TPU-stack extension; 0 = unweighted; pairs well "
                         "with --pnp_robust under occlusion)")
+    p.add_argument("--host_loader", type=str, default="auto",
+                   choices=("auto", "native", "threads", "procs"),
+                   help="host frame-decode backend (TPU-stack extension): "
+                        "native = C++ threaded libpng/libjpeg ring loader, "
+                        "threads/procs = Python cv2 pools, auto = native "
+                        "when buildable and inputs are PNG/JPEG")
     p.add_argument("--save_img", default=False, action="store_true")
     p.add_argument("--vis", default=False, action="store_true")
     p.add_argument("--format", type=str)

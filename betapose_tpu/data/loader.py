@@ -167,6 +167,40 @@ class PrefetchLoader:
         return self._iter_threads()
 
 
+def make_loader(paths, batch_size: int, mode: str = "auto",
+                workers: int = 8, lookahead: int = 3):
+    """Select the host feed backend; every backend yields padded
+    [B,H,W,3] uint8 batches in path order with a `batch_sizes` list.
+
+    mode:
+      - "native":  C++ threaded libpng/libjpeg ring loader
+        (`native/loader.cpp`) — decode runs entirely off the GIL and
+        scales with host cores; raises if the toolchain/codecs are absent.
+      - "threads" / "procs": the Python cv2 pools (PrefetchLoader).
+      - "auto": native when it builds AND every input is a .png/.jpg
+        (the native codecs' scope); cv2 threads otherwise — so exotic
+        formats (BMP, TIFF, ...) silently keep the cv2 path.
+    """
+    paths = list(paths)
+    if mode not in ("auto", "native", "threads", "procs"):
+        raise ValueError(f"unknown host_loader mode {mode!r}")
+    if mode in ("auto", "native"):
+        from betapose_tpu.native import loader as native
+        exts_ok = paths and all(
+            os.path.splitext(p)[1].lower() in (".png", ".jpg", ".jpeg")
+            for p in paths)
+        if mode == "native":
+            if not native.available():
+                raise RuntimeError(
+                    "--host_loader native: C++ loader unavailable "
+                    "(no g++ or libpng/libjpeg)")
+            return native.NativeLoader(paths, batch_size, workers, lookahead)
+        if exts_ok and native.available():
+            return native.NativeLoader(paths, batch_size, workers, lookahead)
+    return PrefetchLoader(paths, batch_size, workers, lookahead,
+                          use_processes=(mode == "procs"))
+
+
 class FrameCache:
     """Pre-decoded frame cache: decode a path list ONCE into a uint8 memmap
     (.npy), then serve batches at disk/page-cache bandwidth.  The fallback

@@ -24,7 +24,7 @@ from betapose_tpu.core.config import make_parser, Config
 from betapose_tpu.core import checkpoint as ckpt
 from betapose_tpu.core.profiling import RuntimeProfile
 from betapose_tpu.data import sixd as sixd_mod
-from betapose_tpu.data.loader import PrefetchLoader, list_images
+from betapose_tpu.data.loader import list_images, make_loader
 from betapose_tpu.geometry.model3d import Model3D
 from betapose_tpu.geometry import metrics
 from betapose_tpu.models import yolov3 as yolo_mod
@@ -143,7 +143,8 @@ def build_pipeline(cfg: Config, args, kp_vertices, cam_K,
                         pcfg, left_keypoints=left_keypoints)
 
 
-def collect_results(pipeline, im_names, batch_size, profile=False):
+def collect_results(pipeline, im_names, batch_size, profile=False,
+                    host_loader="auto"):
     """Run the fused pipeline over all frames; build the reference-format
     final_result list.
 
@@ -151,7 +152,7 @@ def collect_results(pipeline, im_names, batch_size, profile=False):
     device sync between them and prints per-stage means — the reference's
     det/pose/post readout (`betapose_evaluate.py:132-136,181-186`). The
     non-profile path keeps the fused single-graph step."""
-    loader = PrefetchLoader(im_names, batch_size)
+    loader = make_loader(im_names, batch_size, mode=host_loader)
     final_result = []
     prof = RuntimeProfile()
     idx = 0
@@ -274,7 +275,8 @@ def main(argv=None):
     pipeline = build_pipeline(cfg, args, kp_vertices, cam_K)
     batch = max(cfg.detection.det_batch, 1)
     final_result, fps = collect_results(
-        pipeline, im_names, batch, profile=cfg.runtime.profile)
+        pipeline, im_names, batch, profile=cfg.runtime.profile,
+        host_loader=cfg.runtime.host_loader)
     print("===========================> Finish Model Running.")
 
     results_mod.write_json(final_result, cfg.runtime.output_path,

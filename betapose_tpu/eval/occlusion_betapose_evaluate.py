@@ -104,7 +104,7 @@ def main(argv=None):
 
     final_result, fps = collect_results(
         pipeline, im_names, max(cfg.detection.det_batch, 1),
-        profile=cfg.runtime.profile)
+        profile=cfg.runtime.profile, host_loader=cfg.runtime.host_loader)
     print("===========================> Finish Model Running.")
     results_mod.write_json(final_result, cfg.runtime.output_path,
                            form=cfg.runtime.format)
