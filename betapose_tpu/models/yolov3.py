@@ -99,6 +99,9 @@ class NetworkSpec:
     layers: tuple               # tuple[LayerSpec]
     cache_idxs: frozenset       # layer outputs needed later
     net_info: dict              # [net] block options (may be empty)
+    dims: tuple = ()            # per-layer output (h, w) at the cfg's
+    #                           # [net] width/height ((None, None) when the
+    #                           # cfg omits them); parallels `layers`
 
     @property
     def yolo_idxs(self):
@@ -449,7 +452,8 @@ def build_spec(cfg) -> NetworkSpec:
                 " dropout, softmax, cost, reorg, reorg_old, region, yolo,"
                 " detection, crop, normalization, local, rnn, crnn, gru,"
                 " activation, batchnorm)")
-    return NetworkSpec(tuple(layers), frozenset(needed), net_info)
+    return NetworkSpec(tuple(layers), frozenset(needed), net_info,
+                       tuple(dims[1:]))
 
 
 # ---------------------------------------------------------------------------
@@ -767,7 +771,8 @@ def save_partial_weights(spec: NetworkSpec, params, path, cutoff: int,
     the first `cutoff` layers' weights — e.g. extracting a pretrained
     backbone (darknet53.conv.74 has cutoff 74)."""
     sub_layers = spec.layers[:cutoff]
-    sub_spec = NetworkSpec(tuple(sub_layers), spec.cache_idxs, spec.net_info)
+    sub_spec = NetworkSpec(tuple(sub_layers), spec.cache_idxs, spec.net_info,
+                           spec.dims[:cutoff])
     save_darknet_weights(sub_spec, params[:cutoff], path, seen)
 
 

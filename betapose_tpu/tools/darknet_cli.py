@@ -10,6 +10,11 @@ Counterpart of the vendored darknet's command surface
   python -m betapose_tpu.tools.darknet_cli detector map    <data> <cfg> <weights> [-iou_thresh .25]
   python -m betapose_tpu.tools.darknet_cli detector demo   <data> <cfg> <weights> [video] [-out_filename o.avi] [-c 0] [-max_frames N]
   python -m betapose_tpu.tools.darknet_cli partial <cfg> <weights> <out> <cutoff>
+  python -m betapose_tpu.tools.darknet_cli average <cfg> <out> <w1> <w2> [...]
+  python -m betapose_tpu.tools.darknet_cli rescale|rgbgr|reset|denormalize <cfg> <weights> <out>
+  python -m betapose_tpu.tools.darknet_cli statistics <cfg> <weights>
+  python -m betapose_tpu.tools.darknet_cli speed <cfg> [tics]
+  python -m betapose_tpu.tools.darknet_cli ops <cfg>
   python -m betapose_tpu.tools.darknet_cli classifier train   <data> <cfg> [weights] [-clear] [-gpus 0,1]
   python -m betapose_tpu.tools.darknet_cli classifier predict <data> <cfg> <weights> <image> [-t N]
   python -m betapose_tpu.tools.darknet_cli classifier valid   <data> <cfg> <weights> [-t N]
@@ -447,10 +452,274 @@ def cmd_partial(cfg, weights, out, cutoff: int):
     print(f"Saved first {cutoff} layers to {out}")
 
 
+# ---- weight-surgery family (darknet.c:384-449) --------------------------
+# Same verbs, same math, applied to the params pytree instead of in-place
+# C arrays.  Each formula cites its darknet source.
+
+def cmd_average(cfg, out, weight_files):
+    """`darknet average <cfg> <out> <w1> <w2> ...` (darknet.c average():35):
+    elementwise mean over N weight files.  darknet averages CONVOLUTIONAL
+    (biases, weights, + BN scales/rolling stats) and CONNECTED (biases and
+    weights ONLY — a BN connected layer's scales/rolling stats keep the
+    FIRST file's values); every other layer kind keeps the first file's
+    params.  Transcribed exactly, quirk included."""
+    from betapose_tpu.models import yolov3 as yolo_mod
+    spec, acc, _ = _load_model(cfg, weight_files[0])
+    acc = [dict(p) for p in acc]
+    conn_avg_keys = ("b", "bn_bias", "w")   # l.biases maps to bn_bias when BN
+    for wf in weight_files[1:]:
+        params, _ = yolo_mod.load_darknet_weights(spec, wf,
+                                                  allow_partial=False)
+        for li, l in enumerate(spec.layers):
+            if l.kind == "conv":
+                for k in acc[li]:
+                    acc[li][k] = acc[li][k] + params[li][k]
+            elif l.kind == "connected":
+                for k in acc[li]:
+                    if k in conn_avg_keys:
+                        acc[li][k] = acc[li][k] + params[li][k]
+    n = len(weight_files)
+    for li, l in enumerate(spec.layers):
+        if l.kind == "conv":
+            acc[li] = {k: v / n for k, v in acc[li].items()}
+        elif l.kind == "connected":
+            acc[li] = {k: (v / n if k in conn_avg_keys else v)
+                       for k, v in acc[li].items()}
+    yolo_mod.save_darknet_weights(spec, acc, out)
+    print(f"Averaged {n} weight files -> {out}")
+
+
+def _first_conv(spec):
+    for li, l in enumerate(spec.layers):
+        if l.kind == "conv":
+            return li, l
+    raise SystemExit("cfg has no convolutional layer")
+
+
+def cmd_rescale(cfg, weights, out):
+    """`darknet rescale` (darknet.c rescale_net():165 ->
+    convolutional_layer.c rescale_weights(l, 2, -.5):947): on the FIRST
+    conv layer, and only when it sees 3 input channels: w *= 2, then
+    b[o] += sum(w_scaled[..., o]) * -0.5  (input-range remap surgery)."""
+    import jax.numpy as jnp
+    from betapose_tpu.models import yolov3 as yolo_mod
+    spec, params, _ = _load_model(cfg, weights)
+    li, l = _first_conv(spec)
+    p = dict(params[li])
+    if l.in_channels == 3:
+        w = p["w"] * 2.0                             # scale_image(im, 2)
+        bias_key = "bn_bias" if l.batch_normalize else "b"
+        p[bias_key] = p[bias_key] + jnp.sum(
+            w, axis=(0, 1, 2)) * -0.5                # sum*trans per filter
+        p["w"] = w
+        params = list(params)
+        params[li] = p
+    yolo_mod.save_darknet_weights(spec, params, out)
+    print(f"Rescaled first conv layer -> {out}")
+
+
+def cmd_rgbgr(cfg, weights, out):
+    """`darknet rgbgr` (darknet.c rgbgr_net():183 -> rgbgr_weights():936):
+    swap the R and B input-channel planes of the first conv layer's
+    filters (convert weights trained on BGR input to RGB or back)."""
+    from betapose_tpu.models import yolov3 as yolo_mod
+    spec, params, _ = _load_model(cfg, weights)
+    li, l = _first_conv(spec)
+    if l.in_channels == 3:
+        params = list(params)
+        p = dict(params[li])
+        p["w"] = p["w"][:, :, ::-1, :]               # HWIO: flip I axis
+        params[li] = p
+    yolo_mod.save_darknet_weights(spec, params, out)
+    print(f"RGB<->BGR swapped first conv layer -> {out}")
+
+
+def _denorm_conv(p, eps=1e-5):
+    """denormalize_convolutional_layer (convolutional_layer.c:416): fold
+    rolling stats into w/bias, reset BN arrays to identity (var -> 1, the
+    forward's +eps then leaves a ~1e-5 residual — darknet's exact move)."""
+    import jax.numpy as jnp
+    scale = p["bn_scale"] / jnp.sqrt(p["bn_var"] + eps)
+    return {"w": p["w"] * scale[None, None, None, :],
+            "bn_bias": p["bn_bias"] - p["bn_mean"] * scale,
+            "bn_scale": jnp.ones_like(scale),
+            "bn_mean": jnp.zeros_like(scale),
+            "bn_var": jnp.ones_like(scale)}
+
+
+def _denorm_connected(p, eps=1e-6):
+    """denormalize_connected_layer (connected_layer.c:200); w is [in, out]
+    here, darknet's row-major [out, in] scales rows = our columns."""
+    import jax.numpy as jnp
+    scale = p["bn_scale"] / jnp.sqrt(p["bn_var"] + eps)
+    return {"w": p["w"] * scale[None, :],
+            "bn_bias": p["bn_bias"] - p["bn_mean"] * scale,
+            "bn_scale": jnp.ones_like(scale),
+            "bn_mean": jnp.zeros_like(scale),
+            "bn_var": jnp.ones_like(scale)}
+
+
+def cmd_reset(cfg, weights, out):
+    """`darknet reset` (darknet.c reset_normalize_net():202): fold BN
+    rolling stats into the weights of every batch-normalized conv /
+    connected / GRU-sublayer, leaving identity BN arrays IN PLACE (the
+    layers stay batch-normalized; contrast `denormalize`)."""
+    from betapose_tpu.models import yolov3 as yolo_mod
+    spec, params, _ = _load_model(cfg, weights)
+    params = list(params)
+    for li, l in enumerate(spec.layers):
+        if not l.batch_normalize:
+            continue
+        if l.kind == "conv":
+            params[li] = _denorm_conv(params[li])
+        elif l.kind == "connected":
+            params[li] = _denorm_connected(params[li])
+        elif l.kind == "gru":
+            params[li] = {k: _denorm_connected(sub)
+                          for k, sub in params[li].items()}
+    yolo_mod.save_darknet_weights(spec, params, out)
+    print(f"Folded BN stats (layers stay batch-normalized) -> {out}")
+
+
+def cmd_denormalize(cfg, weights, out):
+    """`darknet denormalize` (darknet.c denormalize_net():303): fold BN
+    stats into weights AND clear batch_normalize, so the file is written
+    in the bias-only layout (darknet's save_weights honors the cleared
+    flag the same way).  Reloading needs a cfg with batch_normalize
+    removed — darknet shares that caveat."""
+    import dataclasses as _dc
+    from betapose_tpu.models import yolov3 as yolo_mod
+    spec, params, _ = _load_model(cfg, weights)
+    params = list(params)
+    layers = list(spec.layers)
+    for li, l in enumerate(layers):
+        if not l.batch_normalize or l.kind not in ("conv", "connected",
+                                                   "gru"):
+            continue
+        if l.kind == "conv":
+            f = _denorm_conv(params[li])
+            params[li] = {"w": f["w"], "b": f["bn_bias"]}
+        elif l.kind == "connected":
+            f = _denorm_connected(params[li])
+            params[li] = {"w": f["w"], "b": f["bn_bias"]}
+        else:   # gru: sublayers lose their BN arrays too
+            params[li] = {
+                k: {"w": f["w"], "b": f["bn_bias"]}
+                for k, f in ((k, _denorm_connected(sub))
+                             for k, sub in params[li].items())}
+        layers[li] = _dc.replace(l, batch_normalize=False)
+    new_spec = yolo_mod.NetworkSpec(tuple(layers), spec.cache_idxs,
+                                    spec.net_info, spec.dims)
+    yolo_mod.save_darknet_weights(new_spec, params, out)
+    print(f"Denormalized (BN folded + flags cleared) -> {out}\n"
+          "note: reload with a cfg whose batch_normalize= lines are "
+          "removed (same caveat as darknet's denormalize)")
+
+
+def _print_statistics(a, label):
+    """print_statistics (utils.c:531): MSE here is sqrt(mean(a^2))."""
+    a = np.asarray(a, np.float64).reshape(-1)
+    mse = float(np.sqrt(np.mean(a * a)))
+    m = float(np.mean(a))
+    v = float(np.mean((a - m) ** 2))
+    print(f"{label}MSE: {mse:.6f}, Mean: {m:.6f}, Variance: {v:.6f}")
+
+
+def cmd_statistics(cfg, weights):
+    """`darknet statistics` (darknet.c statistics_net():272): per
+    batch-normalized CONNECTED / GRU layer, print scale/bias/weight
+    stats.  darknet's weights line reads only the first `outputs` floats
+    of the row-major [out, in] weight matrix — quirk transcribed (our w
+    is [in, out], so that's w.T.ravel()[:outputs])."""
+    spec, params, _ = _load_model(cfg, weights)
+    for li, l in enumerate(spec.layers):
+        if l.kind == "connected" and l.batch_normalize:
+            print(f"Connected Layer {li}")
+            _stats_connected(params[li], l.out_channels)
+        elif l.kind == "gru" and l.batch_normalize:
+            print(f"GRU Layer {li}")
+            for name, title in (("input_z", "Input Z"),
+                                ("input_r", "Input R"),
+                                ("input_h", "Input H"),
+                                ("state_z", "State Z"),
+                                ("state_r", "State R"),
+                                ("state_h", "State H")):
+                print(title)
+                _stats_connected(params[li][name],
+                                 np.asarray(params[li][name]["bn_bias"]).size)
+        print()
+
+
+def _stats_connected(p, outputs):
+    """statistics_connected_layer (connected_layer.c:216)."""
+    if "bn_scale" in p:
+        _print_statistics(p["bn_scale"], "Scales ")
+    _print_statistics(p.get("bn_bias", p.get("b")), "Biases ")
+    w = np.asarray(p["w"], np.float32).T.reshape(-1)[:outputs]
+    _print_statistics(w, "Weights ")
+
+
+def cmd_speed(cfg, tics=1000):
+    """`darknet speed <cfg> [tics]` (darknet.c speed():93): batch-1
+    forward timing over `tics` evals of a blank net-sized image."""
+    import time
+    import jax
+    import jax.numpy as jnp
+    from betapose_tpu.models import yolov3 as yolo_mod
+    spec, params, reso = _load_model(cfg, None)
+    folded = yolo_mod.fold_bn(spec, params)
+    h = int(spec.net_info.get("height", reso))
+    fwd = jax.jit(lambda v: yolo_mod.forward(spec, folded, v, reso))
+    im = jnp.zeros((1, h, reso, 3), jnp.float32)
+    jax.block_until_ready(fwd(im))                   # compile outside timing
+    start = time.perf_counter()
+    for _ in range(int(tics)):
+        out = fwd(im)
+    jax.block_until_ready(out)
+    t = time.perf_counter() - start
+    print(f"\n{tics} evals, {t:f} Seconds")
+    print(f"Speed: {t / tics:f} sec/eval")
+    print(f"Speed: {tics / t:f} Hz")
+
+
+def cmd_ops(cfg):
+    """`darknet ops <cfg>` (darknet.c operations():110): MAC-pair count —
+    conv: 2*n*size^2*c*out_h*out_w, connected: 2*in*out; other layers
+    free, exactly as darknet counts it."""
+    from betapose_tpu.models import yolov3 as yolo_mod
+    with open(cfg) as f:
+        spec = yolo_mod.build_spec(f.read())
+    ops = 0
+    for l, (oh, ow) in zip(spec.layers, spec.dims):
+        if l.kind == "conv":
+            if oh is None or ow is None:
+                raise SystemExit(
+                    "ops needs width/height in the [net] block")
+            ops += 2 * l.out_channels * l.size * l.size * l.in_channels \
+                * oh * ow
+        elif l.kind == "connected":
+            ops += 2 * l.in_features * l.out_channels
+    print(f"Floating Point Operations: {ops}")
+    print(f"Floating Point Operations: {ops / 1e9:.2f} Bn")
+    return ops
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv and argv[0] == "partial":
         return cmd_partial(argv[1], argv[2], argv[3], int(argv[4]))
+    if argv and argv[0] == "average":
+        return cmd_average(argv[1], argv[2], argv[3:])
+    if argv and argv[0] in ("rescale", "rgbgr", "reset", "denormalize"):
+        fn = {"rescale": cmd_rescale, "rgbgr": cmd_rgbgr,
+              "reset": cmd_reset, "denormalize": cmd_denormalize}[argv[0]]
+        return fn(argv[1], argv[2], argv[3])
+    if argv and argv[0] == "statistics":
+        return cmd_statistics(argv[1], argv[2])
+    if argv and argv[0] == "speed":
+        return cmd_speed(argv[1], int(argv[2]) if len(argv) > 2 else 1000)
+    if argv and argv[0] == "ops":
+        return cmd_ops(argv[1])
     if len(argv) < 2 or argv[0] not in ("detector", "classifier"):
         print(__doc__)
         return 1

@@ -1,0 +1,189 @@
+"""darknet weight-surgery verbs (darknet.c:384-449): average, rescale,
+rgbgr, reset, denormalize, statistics, speed, ops.
+
+Each test transcribes the darknet FORMULA (axpy/scal means, rescale_weights
+scale+trans, BN folds from convolutional_layer.c:416 / connected_layer.c:200)
+and checks the verb against it — the fold verbs additionally by whole-graph
+forward equivalence, which is the property the surgery exists to preserve.
+"""
+
+import re
+
+import jax
+import numpy as np
+import pytest
+
+from betapose_tpu.models import yolov3
+from betapose_tpu.tools import darknet_cli
+
+from test_yolov3 import CLASSIFIER_CFG
+
+
+def _randomized_params(spec, seed):
+    """Init + perturb every leaf; give BN stats non-identity values so the
+    fold verbs actually have something to fold."""
+    rng = np.random.RandomState(seed)
+    params = yolov3.init_params(jax.random.PRNGKey(seed), spec)
+    out = []
+    for p in params:
+        q = {}
+        for k, v in p.items():
+            v = np.asarray(v, np.float32)
+            if k == "bn_var":
+                q[k] = (0.5 + rng.rand(*v.shape)).astype(np.float32)
+            elif k in ("bn_mean", "bn_scale", "bn_bias", "b"):
+                q[k] = rng.standard_normal(v.shape).astype(np.float32)
+            else:
+                q[k] = (v + 0.1 * rng.standard_normal(v.shape)
+                        ).astype(np.float32)
+        out.append(q)
+    return out
+
+
+@pytest.fixture()
+def net(tmp_path):
+    cfg_path = str(tmp_path / "net.cfg")
+    with open(cfg_path, "w") as f:
+        f.write(CLASSIFIER_CFG)
+    spec = yolov3.build_spec(CLASSIFIER_CFG)
+    params = _randomized_params(spec, 0)
+    w_path = str(tmp_path / "net.weights")
+    yolov3.save_darknet_weights(spec, params, w_path)
+    return spec, params, cfg_path, w_path, tmp_path
+
+
+def _fwd(spec, params, x):
+    return np.asarray(yolov3.forward(spec, params, x, reso=64))
+
+
+class TestAverage:
+    def test_conv_mean_connected_quirk(self, net):
+        spec, p1, cfg_path, w1, tmp = net
+        p2 = _randomized_params(spec, 1)
+        w2 = str(tmp / "net2.weights")
+        yolov3.save_darknet_weights(spec, p2, w2)
+        out = str(tmp / "avg.weights")
+        darknet_cli.main(["average", cfg_path, out, w1, w2])
+        avg, _ = yolov3.load_darknet_weights(spec, out)
+        for li, l in enumerate(spec.layers):
+            if l.kind == "conv":
+                for k in p1[li]:
+                    np.testing.assert_allclose(
+                        np.asarray(avg[li][k]),
+                        (np.asarray(p1[li][k]) + np.asarray(p2[li][k])) / 2,
+                        rtol=1e-6, atol=1e-6, err_msg=f"layer {li} {k}")
+            elif l.kind == "connected":
+                for k in ("w", "b", "bn_bias"):
+                    if k in p1[li]:
+                        np.testing.assert_allclose(
+                            np.asarray(avg[li][k]),
+                            (np.asarray(p1[li][k])
+                             + np.asarray(p2[li][k])) / 2,
+                            rtol=1e-6, atol=1e-6)
+                # darknet's CONNECTED branch never touches the BN arrays:
+                # they keep the FIRST file's values (darknet.c:64-67 quirk)
+                for k in ("bn_scale", "bn_mean", "bn_var"):
+                    if k in p1[li]:
+                        np.testing.assert_array_equal(
+                            np.asarray(avg[li][k]), np.asarray(p1[li][k]))
+
+
+class TestFirstConvSurgery:
+    def test_rescale_formula(self, net):
+        spec, params, cfg_path, w_path, tmp = net
+        out = str(tmp / "rescaled.weights")
+        darknet_cli.main(["rescale", cfg_path, w_path, out])
+        got, _ = yolov3.load_darknet_weights(spec, out)
+        li, l = darknet_cli._first_conv(spec)
+        w_new = 2.0 * np.asarray(params[li]["w"])
+        np.testing.assert_allclose(np.asarray(got[li]["w"]), w_new,
+                                   rtol=1e-6)
+        # rescale_weights (convolutional_layer.c:947): bias += sum of the
+        # ALREADY-SCALED filter * trans (-0.5)
+        bias_key = "bn_bias" if l.batch_normalize else "b"
+        expect_b = (np.asarray(params[li][bias_key])
+                    + w_new.sum(axis=(0, 1, 2)) * -0.5)
+        np.testing.assert_allclose(np.asarray(got[li][bias_key]), expect_b,
+                                   rtol=1e-5, atol=1e-6)
+        # only the first conv is touched
+        for lj, lspec in enumerate(spec.layers):
+            if lj != li and lspec.kind == "conv":
+                np.testing.assert_array_equal(np.asarray(got[lj]["w"]),
+                                              np.asarray(params[lj]["w"]))
+
+    def test_rgbgr_swaps_and_self_inverts(self, net):
+        spec, params, cfg_path, w_path, tmp = net
+        out1 = str(tmp / "bgr.weights")
+        out2 = str(tmp / "rgb.weights")
+        darknet_cli.main(["rgbgr", cfg_path, w_path, out1])
+        darknet_cli.main(["rgbgr", cfg_path, out1, out2])
+        li, _ = darknet_cli._first_conv(spec)
+        got1, _ = yolov3.load_darknet_weights(spec, out1)
+        np.testing.assert_array_equal(
+            np.asarray(got1[li]["w"]),
+            np.asarray(params[li]["w"])[:, :, ::-1, :])
+        got2, _ = yolov3.load_darknet_weights(spec, out2)
+        np.testing.assert_array_equal(np.asarray(got2[li]["w"]),
+                                      np.asarray(params[li]["w"]))
+
+
+class TestBNFolding:
+    def test_reset_keeps_bn_and_preserves_forward(self, net):
+        spec, params, cfg_path, w_path, tmp = net
+        out = str(tmp / "reset.weights")
+        darknet_cli.main(["reset", cfg_path, w_path, out])
+        folded, _ = yolov3.load_darknet_weights(spec, out)
+        for li, l in enumerate(spec.layers):
+            if l.batch_normalize:
+                np.testing.assert_array_equal(
+                    np.asarray(folded[li]["bn_mean"]), 0.0)
+                np.testing.assert_array_equal(
+                    np.asarray(folded[li]["bn_var"]), 1.0)
+                np.testing.assert_array_equal(
+                    np.asarray(folded[li]["bn_scale"]), 1.0)
+        x = np.random.RandomState(2).rand(2, 64, 64, 3).astype(np.float32)
+        # identity-BN forward still divides by sqrt(1+eps): ~5e-6 relative
+        # residual is darknet's exact behavior, hence the loose tolerance
+        np.testing.assert_allclose(_fwd(spec, folded, x),
+                                   _fwd(spec, params, x),
+                                   rtol=2e-3, atol=2e-4)
+
+    def test_denormalize_strips_bn_and_preserves_forward(self, net):
+        spec, params, cfg_path, w_path, tmp = net
+        out = str(tmp / "denorm.weights")
+        darknet_cli.main(["denormalize", cfg_path, w_path, out])
+        # reload needs the BN-stripped cfg, as with darknet
+        stripped = re.sub(r"batch_normalize=1\n", "", CLASSIFIER_CFG)
+        spec_nb = yolov3.build_spec(stripped)
+        assert not any(l.batch_normalize for l in spec_nb.layers)
+        folded, _ = yolov3.load_darknet_weights(spec_nb, out,
+                                                allow_partial=False)
+        x = np.random.RandomState(3).rand(2, 64, 64, 3).astype(np.float32)
+        np.testing.assert_allclose(_fwd(spec_nb, folded, x),
+                                   _fwd(spec, params, x),
+                                   rtol=1e-4, atol=1e-5)
+
+
+class TestDiagnostics:
+    def test_ops_counts_conv_and_connected_macs(self, net):
+        _, _, cfg_path, _, _ = net
+        # conv1 3->8 3x3 @64x64; maxpool /2; conv2 8->16 3x3 s2 -> 16x16;
+        # connected 16->12 and 12->10 (darknet.c operations():110)
+        expect = (2 * 8 * 9 * 3 * 64 * 64 + 2 * 16 * 9 * 8 * 16 * 16
+                  + 2 * 16 * 12 + 2 * 12 * 10)
+        assert darknet_cli.main(["ops", cfg_path]) == expect
+
+    def test_statistics_output(self, net, capsys):
+        _, _, cfg_path, w_path, _ = net
+        darknet_cli.main(["statistics", cfg_path, w_path])
+        out = capsys.readouterr().out
+        assert "Connected Layer 6" in out
+        assert "Scales MSE:" in out
+        assert "Biases MSE:" in out
+        assert "Weights MSE:" in out
+
+    def test_speed_smoke(self, net, capsys):
+        _, _, cfg_path, _, _ = net
+        darknet_cli.main(["speed", cfg_path, "3"])
+        out = capsys.readouterr().out
+        assert "3 evals" in out and "Hz" in out
