@@ -129,6 +129,16 @@ def main():
     flops_per_frame, mfu = _mfu_estimate(jax, pipe, frames_dev, steady_fps,
                                          batch)
 
+    # ---- serving latency: single frame through the full fused step ----
+    frames_1 = jax.device_put(jnp.asarray(frames[:1]))
+    for _ in range(3):
+        jax.device_get(pipe(frames_1)["cam_t"])     # compile + warm
+    lat_iters = 30
+    t0 = time.perf_counter()
+    for _ in range(lat_iters):
+        jax.device_get(pipe(frames_1)["cam_t"])     # sync each call: latency
+    latency_ms_b1 = (time.perf_counter() - t0) / lat_iters * 1e3
+
     # ---- occlusion-shaped multi-candidate workload (VERDICT r2 #1a):
     # device top-4 NMS -> per-candidate crops/heatmaps/decode -> fused
     # on-device pose-NMS -> batched PnP, one graph ----
@@ -234,6 +244,7 @@ def main():
         "cached_e2e_fps": round(cached_e2e_fps, 2),
         "steady_state_fps": round(steady_fps, 2),
         "candidates_fps": round(cand_fps, 2),
+        "latency_ms_b1": round(latency_ms_b1, 2),
         "host_feed_fps": round(host_feed_fps, 2),
         "host_feed_mode": host_feed_mode,
         "host_decode_fps": round(decode_threads_fps, 2),
@@ -248,7 +259,9 @@ def main():
                             if flops_per_frame else None),
         "flops_unit": "GFLOP",
         "mfu": round(mfu, 4) if mfu else None,
-        "note": ("e2e_fps includes disk PNG decode + H2D + D2H; "
+        "note": ("latency_ms_b1 is one frame through the full fused step "
+                 "with per-call sync (tunnel RTT inflates it when "
+                 "tunnel_capped_feed). e2e_fps includes disk PNG decode + H2D + D2H; "
                  "steady_state_fps is device compute with a resident batch; "
                  "candidates_fps is the det_capacity=4 occlusion-shaped "
                  "workload with on-device pose-NMS. value = steady_state "

@@ -18,9 +18,23 @@ import numpy as np
 def imread_rgb(path: str) -> np.ndarray:
     """Read an image file to RGB uint8 HWC.
 
-    cv2.cvtColor, not a fancy-index flip: the SIMD conversion is ~20x
-    faster per 480x640 frame (0.13 ms vs 2.6 ms), which matters on
-    single-core eval hosts where decode is the e2e bottleneck."""
+    PNG/JPEG goes through the native C++ codecs when the library builds
+    (byte-identical to cv2 for PNG — tests/test_native_loader.py — and
+    writes RGB directly, skipping cv2's BGR detour); anything else, or a
+    native failure (exotic subformat, missing toolchain), falls back to
+    cv2.  cv2.cvtColor rather than a fancy-index flip there: the SIMD
+    conversion is ~20x faster per 480x640 frame (0.13 ms vs 2.6 ms),
+    which matters on single-core eval hosts where decode is the e2e
+    bottleneck."""
+    if os.path.splitext(path)[1].lower() in (".png", ".jpg", ".jpeg"):
+        try:
+            from betapose_tpu.native import loader as native
+            if native.available():
+                return native.imread_rgb(path)
+        except IOError:
+            if not os.path.exists(path):
+                raise FileNotFoundError(path)
+            # decodable-by-cv2-only subformat: fall through
     import cv2
     img = cv2.imread(path, cv2.IMREAD_COLOR)
     if img is None:

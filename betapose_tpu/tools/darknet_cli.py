@@ -9,6 +9,7 @@ Counterpart of the vendored darknet's command surface
   python -m betapose_tpu.tools.darknet_cli detector recall <data> <cfg> <weights>
   python -m betapose_tpu.tools.darknet_cli detector map    <data> <cfg> <weights> [-iou_thresh .25]
   python -m betapose_tpu.tools.darknet_cli detector demo   <data> <cfg> <weights> [video] [-out_filename o.avi] [-c 0] [-max_frames N]
+  python -m betapose_tpu.tools.darknet_cli detector calc_anchors <data> -num_of_clusters 9 -width 416 -height 416
   python -m betapose_tpu.tools.darknet_cli partial <cfg> <weights> <out> <cutoff>
   python -m betapose_tpu.tools.darknet_cli average <cfg> <out> <w1> <w2> [...]
   python -m betapose_tpu.tools.darknet_cli rescale|rgbgr|reset|denormalize <cfg> <weights> <out>
@@ -452,6 +453,78 @@ def cmd_partial(cfg, weights, out, cutoff: int):
     print(f"Saved first {cutoff} layers to {out}")
 
 
+def cmd_calc_anchors(data, num_of_clusters=5, width=-1, height=-1,
+                     out_file="anchors.txt"):
+    """`detector calc_anchors` (detector.c calc_anchors():905): k-means++
+    (10 attempts, the cvKMeans2 call transcribed to cv2.kmeans) over every
+    GT box's (w*width, h*height) in network-input pixels; centers sorted
+    ascending by area (anchors_comparator:895); prints the avg IoU of each
+    box against its nearest-by-Euclidean anchor and writes `anchors.txt`
+    as 'w,h, w,h, ...' ready to paste into a cfg.  The reference's -show
+    scatter window is GUI-only and omitted."""
+    import cv2
+    print(f"\n num_of_clusters = {num_of_clusters}, width = {width}, "
+          f"height = {height} ")
+    if width < 0 or height < 0:
+        print("Usage: darknet detector calc_anchors data/voc.data "
+              "-num_of_clusters 9 -width 416 -height 416 \n"
+              "Error: set width and height ")
+        return 1
+    opts = read_data_cfg(data)
+    paths = [ln.strip() for ln in open(opts["train"]) if ln.strip()]
+    print(f" read labels from {len(paths)} images ")
+    wh = []
+    for p in paths:
+        # replace_image_to_label (utils.c:225): sibling .txt, with the
+        # images/->labels/ convention as fallback
+        txt = os.path.splitext(p)[0] + ".txt"
+        if not os.path.exists(txt):
+            txt = p.replace("images", "labels").rsplit(".", 1)[0] + ".txt"
+        if not os.path.exists(txt):
+            continue
+        for j, ln in enumerate(open(txt)):
+            vals = ln.split()
+            if len(vals) < 5:
+                continue
+            _, x, y, w, h = (float(v) for v in vals[:5])
+            if not (0 < x <= 1 and 0 < y <= 1 and 0 < w <= 1 and 0 < h <= 1):
+                print(f"\n\nWrong label: {txt} - j = {j}, x = {x:f}, "
+                      f"y = {y:f}, width = {w:f}, height = {h:f} ")
+                continue
+            wh.append((w * width, h * height))
+    n_boxes = len(wh)
+    print(" all loaded. ")
+    if n_boxes < num_of_clusters:
+        print(f"Error: only {n_boxes} boxes for {num_of_clusters} clusters")
+        return 1
+    points = np.asarray(wh, np.float32)
+    print("\n calculating k-means++ ...")
+    cv2.setRNGSeed(12345)
+    _, _, centers = cv2.kmeans(
+        points, num_of_clusters, None,
+        (cv2.TERM_CRITERIA_EPS + cv2.TERM_CRITERIA_MAX_ITER, 10000, 0.0),
+        attempts=10, flags=cv2.KMEANS_PP_CENTERS)
+    centers = centers[np.argsort(centers[:, 0] * centers[:, 1])]
+
+    # avg IoU readout: nearest center by EUCLIDEAN distance (the
+    # reference's deliberate quirk — the comment at detector.c:980 admits
+    # 1-IoU would be the right metric but ships Euclidean)
+    d2 = ((points[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+    nearest = centers[np.argmin(d2, axis=1)]
+    mins = np.minimum(points, nearest)
+    inter = mins[:, 0] * mins[:, 1]
+    union = (points[:, 0] * points[:, 1]
+             + nearest[:, 0] * nearest[:, 1] - inter)
+    avg_iou = 100.0 * float((inter / union).mean())
+    print(f"\n avg IoU = {avg_iou:2.2f} % ")
+    anchors = ", ".join(f"{w:2.4f},{h:2.4f}" for w, h in centers)
+    with open(out_file, "w") as f:
+        f.write(anchors)
+    print(f"\nSaving anchors to the file: {out_file} ")
+    print(f"anchors = {anchors}")
+    return 0
+
+
 # ---- weight-surgery family (darknet.c:384-449) --------------------------
 # Same verbs, same math, applied to the params pytree instead of in-place
 # C arrays.  Each formula cites its darknet source.
@@ -776,6 +849,12 @@ def main(argv=None):
             # (detector.c:131-161, ~10 sizes); more buckets = finer
             # distribution but one XLA compile each (PARITY deviation d7)
             resize_buckets=int(flags.get("resize_buckets", 3)))
+    if verb == "calc_anchors":
+        return cmd_calc_anchors(
+            pos[0],
+            num_of_clusters=int(flags.get("num_of_clusters", 5)),
+            width=int(flags.get("width", -1)),
+            height=int(flags.get("height", -1)))
     if verb == "map":
         return cmd_map(pos[0], pos[1], pos[2],
                        iou_thresh=float(flags.get("iou_thresh", 0.25)))

@@ -125,6 +125,25 @@ class TestNativeLoader:
             list(native.NativeLoader(img_dir[:2] + [p], batch_size=3))
 
 
+class TestImreadDispatch:
+    def test_loader_imread_matches_cv2_for_png(self, img_dir):
+        from betapose_tpu.data.loader import imread_rgb
+        np.testing.assert_array_equal(imread_rgb(img_dir[0]),
+                                      _cv2_rgb(img_dir[0]))
+
+    def test_loader_imread_falls_back_for_bmp(self, tmp_path):
+        import cv2
+        from betapose_tpu.data.loader import imread_rgb
+        p = str(tmp_path / "f.bmp")
+        cv2.imwrite(p, np.arange(48, dtype=np.uint8).reshape(4, 4, 3))
+        np.testing.assert_array_equal(imread_rgb(p), _cv2_rgb(p))
+
+    def test_loader_imread_missing_raises_filenotfound(self, tmp_path):
+        from betapose_tpu.data.loader import imread_rgb
+        with pytest.raises(FileNotFoundError):
+            imread_rgb(str(tmp_path / "absent.png"))
+
+
 class TestMakeLoader:
     def test_auto_prefers_native_for_png(self, img_dir):
         assert isinstance(make_loader(img_dir, 4), native.NativeLoader)

@@ -187,3 +187,67 @@ class TestDiagnostics:
         darknet_cli.main(["speed", cfg_path, "3"])
         out = capsys.readouterr().out
         assert "3 evals" in out and "Hz" in out
+
+
+class TestCalcAnchors:
+    """detector calc_anchors (detector.c:905): k-means++ over GT box
+    pixel sizes, centers sorted ascending by area, anchors.txt output."""
+
+    def _make_dataset(self, tmp_path, sizes):
+        """Write a darknet list + label txts; images never get read."""
+        lines = []
+        for i, group in enumerate(sizes):
+            img = tmp_path / f"img_{i}.png"
+            txt = tmp_path / f"img_{i}.txt"
+            with open(txt, "w") as f:
+                for (w, h) in group:
+                    f.write(f"0 0.5 0.5 {w} {h}\n")
+            lines.append(str(img))
+        lst = tmp_path / "train.list"
+        lst.write_text("\n".join(lines) + "\n")
+        data = tmp_path / "obj.data"
+        data.write_text(f"classes=1\ntrain={lst}\n")
+        return str(data)
+
+    def test_two_well_separated_clusters(self, tmp_path, monkeypatch, capsys):
+        rng = np.random.RandomState(0)
+        small = [(0.1 + 0.004 * rng.randn(), 0.1 + 0.004 * rng.randn())
+                 for _ in range(20)]
+        big = [(0.6 + 0.004 * rng.randn(), 0.8 + 0.004 * rng.randn())
+               for _ in range(20)]
+        data = self._make_dataset(tmp_path, [small, big])
+        monkeypatch.chdir(tmp_path)   # anchors.txt lands here
+        rc = darknet_cli.main(["detector", "calc_anchors", data,
+                               "-num_of_clusters", "2",
+                               "-width", "416", "-height", "416"])
+        assert rc == 0
+        anchors = [float(v) for v in
+                   (tmp_path / "anchors.txt").read_text().replace(
+                       ",", " ").split()]
+        assert len(anchors) == 4
+        # ascending by area: the ~0.1-relative cluster first
+        np.testing.assert_allclose(anchors[:2], [41.6, 41.6], atol=2.0)
+        np.testing.assert_allclose(anchors[2:], [249.6, 332.8], atol=3.0)
+        out = capsys.readouterr().out
+        assert "avg IoU" in out and "calculating k-means++" in out
+
+    def test_requires_dims(self, tmp_path, capsys):
+        data = self._make_dataset(tmp_path, [[(0.5, 0.5)]])
+        rc = darknet_cli.main(["detector", "calc_anchors", data])
+        assert rc == 1
+        assert "set width and height" in capsys.readouterr().out
+
+    def test_wrong_label_flagged_and_skipped(self, tmp_path, monkeypatch,
+                                             capsys):
+        data = self._make_dataset(
+            tmp_path, [[(0.2, 0.2)], [(1.5, 0.2)], [(0.2, 0.21)]])
+        monkeypatch.chdir(tmp_path)
+        rc = darknet_cli.main(["detector", "calc_anchors", data,
+                               "-num_of_clusters", "1",
+                               "-width", "100", "-height", "100"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "Wrong label" in out
+        anchors = [float(v) for v in
+                   (tmp_path / "anchors.txt").read_text().split(",")]
+        np.testing.assert_allclose(anchors, [20.0, 20.5], atol=0.6)
