@@ -40,21 +40,41 @@ def load_pytree_npz(path, like):
         jax.tree_util.tree_structure(like), leaves)
 
 
-def load_kpd_checkpoint(path, n_classes: int = 50, arch: str = "resnet101"):
-    """Load a KPD checkpoint: torch .pkl/.pth state_dict or our .npz."""
-    from betapose_tpu.models import kpd as kpd_mod
+def load_kpd_checkpoint(path, n_classes: int = 50, arch: str = "resnet101",
+                        **net_kwargs):
+    """Load a pose-net checkpoint: torch .pkl/.pth state_dict or our .npz.
+
+    arch selects the backbone family: FastPose ('resnet50'/'resnet101') or
+    'hgPRM' (PyraNet); net_kwargs (n_feats/n_stack/...) size the hgPRM
+    tree and must match how the checkpoint was trained."""
+    if arch == "hgPRM":
+        from betapose_tpu.models import hgprm as net_mod
+
+        def make_like(key):
+            return net_mod.init_params(key, n_classes, **net_kwargs)
+
+        def from_torch(sd):
+            return net_mod.torch_state_dict_to_params(sd, n_classes,
+                                                      **net_kwargs)
+    else:
+        from betapose_tpu.models import kpd as kpd_mod
+
+        def make_like(key):
+            return kpd_mod.init_params(key, n_classes, arch)
+
+        def from_torch(sd):
+            return kpd_mod.torch_state_dict_to_params(sd, n_classes, arch)
 
     if path.endswith(".npz"):
         import jax.random as jr
-        like = kpd_mod.init_params(jr.PRNGKey(0), n_classes, arch)
-        return load_pytree_npz(path, like)
+        return load_pytree_npz(path, make_like(jr.PRNGKey(0)))
     import torch
     obj = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(obj, "state_dict"):
         obj = obj.state_dict()
     if isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]
-    return kpd_mod.torch_state_dict_to_params(obj, n_classes, arch)
+    return from_torch(obj)
 
 
 # Per-object KPD checkpoint name table (reference

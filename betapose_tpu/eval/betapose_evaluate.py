@@ -75,16 +75,21 @@ def load_sixd_models(base_path, obj_id, total_kp=TOTAL_KP_NUMBER):
 
 def build_pipeline(cfg: Config, args, kp_vertices, cam_K,
                    left_keypoints: int | None = None):
-    # The eval pipeline serves FastPose backbones only; reject anything
-    # else instead of silently substituting (the trainer CLI errors the
-    # same way, train_kpd_main.py — reference betapose_evaluate.py ignores
-    # netType entirely, which hid that its hgPRM path could not run).
+    # Served backbones: FastPose (resnet50/101) and hgPRM (PyraNet — the
+    # reference's --netType hgPRM eval path imports a class that never
+    # shipped, betapose_evaluate.py:128; here it actually runs).  Anything
+    # else is rejected instead of silently substituted (the trainer CLI
+    # errors the same way, train_kpd_main.py).
     arch = cfg.model.net_type
-    if arch not in ("resnet101", "resnet50"):
+    if arch not in ("resnet101", "resnet50", "hgPRM"):
         raise SystemExit(
             f"unsupported --netType {arch!r} for evaluation: the fused "
-            "pose pipeline serves FastPose (resnet101, resnet50); hgPRM "
-            "has no eval wiring in the reference either")
+            "pose pipeline serves FastPose (resnet101, resnet50) and hgPRM")
+    hg_kwargs = (dict(n_feats=cfg.model.n_feats, n_stack=cfg.model.n_stack,
+                      n_residual=getattr(args, "nResidual", 1),
+                      base_width=getattr(args, "baseWidth", 9),
+                      cardinality=getattr(args, "cardinality", 5))
+                 if arch == "hgPRM" else {})
 
     yolo_cfg_text = (open(args.yolo_cfg).read() if args.yolo_cfg
                      else make_yolov3_cfg(num_classes=1,
@@ -111,7 +116,7 @@ def build_pipeline(cfg: Config, args, kp_vertices, cam_K,
     kpd_weights = args.kpd_weights or ckpt.default_kpd_path(cfg.obj_id)
     if os.path.exists(kpd_weights):
         kpd_params = ckpt.load_kpd_checkpoint(
-            kpd_weights, cfg.model.n_classes, arch)
+            kpd_weights, cfg.model.n_classes, arch, **hg_kwargs)
         print("Loading KPD weights from", kpd_weights)
     elif args.kpd_weights:
         raise FileNotFoundError(
@@ -120,8 +125,13 @@ def build_pipeline(cfg: Config, args, kp_vertices, cam_K,
         import jax
         print(f"WARNING: KPD weights {kpd_weights} not found; "
               "using random init (smoke mode)")
-        kpd_params = kpd_mod.init_params(
-            jax.random.PRNGKey(1), cfg.model.n_classes, arch)
+        if arch == "hgPRM":
+            from betapose_tpu.models import hgprm
+            kpd_params = hgprm.init_params(
+                jax.random.PRNGKey(1), cfg.model.n_classes, **hg_kwargs)
+        else:
+            kpd_params = kpd_mod.init_params(
+                jax.random.PRNGKey(1), cfg.model.n_classes, arch)
 
     pcfg = PipelineConfig(
         reso=cfg.model.inp_dim,
@@ -138,7 +148,8 @@ def build_pipeline(cfg: Config, args, kp_vertices, cam_K,
         pnp_score_power=cfg.detection.pnp_score_power,
         # --fast_inference False = InferenNet flip-TTA (reference
         # betapose_evaluate.py:125-130; here it actually runs)
-        flip_tta=not cfg.model.fast_inference)
+        flip_tta=not cfg.model.fast_inference,
+        net_type=arch)
     return PosePipeline(spec, yolo_params, kpd_params, kp_vertices, cam_K,
                         pcfg, left_keypoints=left_keypoints)
 

@@ -68,6 +68,12 @@ class PipelineConfig:
     #                               # (reference InferenNet semantics —
     #                               # betapose_evaluate.py:125-130; its own
     #                               # class never shipped)
+    net_type: str = "resnet101"     # pose backbone: FastPose resnet50/101
+    #                               # (arch lives in the param tree) or
+    #                               # 'hgPRM' — the PyraNet the reference
+    #                               # intended to serve (--netType hgPRM,
+    #                               # PyraNet_Inference hgPRM.py:144) but
+    #                               # shipped broken; served for real here
 
 
 def make_det_stage(yolo_spec, cfg: PipelineConfig):
@@ -146,17 +152,27 @@ def make_pose_stage(cfg: PipelineConfig):
     """Stage 2 — KPD heatmap inference (the 'pt' bucket)."""
     cdtype = jnp.dtype(cfg.compute_dtype)
 
+    if cfg.net_type == "hgPRM":
+        from betapose_tpu.models import hgprm
+
+        def net_fwd(kpd_params, x):
+            # PyraNet runs float32 (its BN/pyramid pooling chain was never
+            # bf16-tuned; FastPose is the perf path — hgPRM is capability)
+            return hgprm.forward(kpd_params, x.astype(jnp.float32))
+    else:
+        def net_fwd(kpd_params, x):
+            # (KPD's 7x7/2 stem measured no faster via s2d — XLA already
+            # handles it; the transform stays available in models/kpd.py)
+            return kpd_mod.forward(kpd_params, x.astype(cdtype))
+
     def pose_stage(kpd_params, crops):
-        # (KPD's 7x7/2 stem measured no faster via s2d — XLA already
-        # handles it; the transform stays available in models/kpd.py)
-        hm_nhwc = kpd_mod.forward(kpd_params, crops.astype(cdtype))
+        hm_nhwc = net_fwd(kpd_params, crops)
         if cfg.flip_tta:
             # InferenNet flip-TTA inside the same fused graph: mirrored
             # forward, un-mirror, average.  LineMod keypoints carry no
             # left/right channel semantics (flipRef is empty,
             # `dataloader.py:790`), so no channel shuffle.
-            hm_f = kpd_mod.forward(
-                kpd_params, crops[:, :, ::-1, :].astype(cdtype))
+            hm_f = net_fwd(kpd_params, crops[:, :, ::-1, :])
             hm_nhwc = (hm_nhwc + hm_f[:, :, ::-1, :]) / 2.0
         return hm_nhwc.astype(jnp.float32).transpose(0, 3, 1, 2)  # [B,K,H,W]
 

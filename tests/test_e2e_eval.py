@@ -94,7 +94,22 @@ class TestEvalCLI:
         from betapose_tpu.eval import betapose_evaluate
         with pytest.raises(SystemExit, match="netType"):
             self._run(betapose_evaluate.main, sixd, tmp_path,
-                      extra=["--netType", "hgPRM"])
+                      extra=["--netType", "convnext"])
+
+    @pytest.mark.slow
+    def test_hgprm_eval_cli(self, sixd, tmp_path):
+        """--netType hgPRM serves the PyraNet through the fused pipeline —
+        the eval path the reference advertises (betapose_evaluate.py:128)
+        but cannot run (its InferenNet import never shipped).  Tiny
+        nFeats/nStack keep the CPU cost down; inputRes stays 320x256
+        (heatmap 80x64 is divisible by the depth-4 hourglass's 16)."""
+        from betapose_tpu.eval import betapose_evaluate
+        out, stats = self._run(
+            betapose_evaluate.main, sixd, tmp_path,
+            extra=["--netType", "hgPRM", "--nFeats", "16", "--nStack", "1",
+                   "--baseWidth", "4", "--cardinality", "2"])
+        assert os.path.exists(os.path.join(out, "Betapose-results.json"))
+        assert set(stats) >= {"mean_add", "mean_2d_acc", "mean_iou", "fps"}
 
     def test_fast_inference_flag_parses_false(self):
         """'--fast_inference False' must actually parse to False (the

@@ -91,6 +91,49 @@ class TestFusedSmoke:
         assert out["cam_t"].shape == (2, 3)
         assert np.all(np.isfinite(np.asarray(out["proposal_score"])))
 
+    def test_pipeline_runs_hgprm(self):
+        """net_type='hgPRM' swaps the pose backbone for PyraNet inside the
+        same fused graph (the reference's intended-but-broken eval path,
+        hgPRM.py:144 PyraNet_Inference).  Heatmap dims (inp/4) must divide
+        by 16 for the depth-4 hourglass: 128x64 -> 32x16."""
+        from betapose_tpu.models import hgprm
+        spec = yolo_mod.build_spec(TINY_YOLO_CFG)
+        yolo_params = yolo_mod.fold_bn(
+            spec, yolo_mod.init_params(jax.random.PRNGKey(0), spec))
+        hg_params = hgprm.init_params(jax.random.PRNGKey(1), n_classes=6,
+                                      n_feats=16, n_stack=2, base_width=4,
+                                      cardinality=2)
+        kp3d = np.random.default_rng(0).standard_normal((6, 3)) * 0.05
+        cfg = PipelineConfig(reso=96, inp_h=128, inp_w=64, out_h=32,
+                             out_w=16, n_kp=6, confidence=0.01,
+                             left_keypoints=6, compute_dtype="float32",
+                             net_type="hgPRM")
+        pipe = PosePipeline(spec, yolo_params, hg_params, kp3d, CAM_K, cfg)
+        frames = np.random.default_rng(1).integers(
+            0, 255, (2, 120, 160, 3), dtype=np.uint8)
+        out = pipe(frames)
+        assert out["keypoints"].shape == (2, 6, 2)
+        assert out["cam_R"].shape == (2, 3, 3)
+        assert np.all(np.isfinite(np.asarray(out["cam_t"])))
+
+    def test_hgprm_checkpoint_roundtrip(self, tmp_path):
+        """load_kpd_checkpoint(arch='hgPRM') restores the exact tree our
+        trainer saves (save_pytree_npz)."""
+        from betapose_tpu.core import checkpoint as ckpt
+        from betapose_tpu.models import hgprm
+        kwargs = dict(n_feats=16, n_stack=2, base_width=4, cardinality=2)
+        params = hgprm.init_params(jax.random.PRNGKey(7), n_classes=6,
+                                   **kwargs)
+        path = str(tmp_path / "hg.npz")
+        ckpt.save_pytree_npz(path, params)
+        loaded = ckpt.load_kpd_checkpoint(path, n_classes=6, arch="hgPRM",
+                                          **kwargs)
+        for (pa, a), (pb, b) in zip(
+                jax.tree_util.tree_flatten_with_path(params)[0],
+                jax.tree_util.tree_flatten_with_path(loaded)[0]):
+            assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_flip_tta_averages_mirrored_forward(self):
         """flip_tta=True (--fast_inference False) must equal the InferenNet
         semantics: (f(x) + unflip(f(flip(x)))) / 2 on the heatmap stage."""
