@@ -24,11 +24,20 @@ class ShardedPosePipeline:
     networks' channel dimensions over the model axis (tensor parallelism,
     `mesh.shard_params_tp`) in addition to batch DP — XLA/GSPMD inserts the
     cross-chip collectives.  For the stock model sizes DP alone is optimal
-    (weights fit per-chip); TP is the scale-up path for wider variants."""
+    (weights fit per-chip); TP is the scale-up path for wider variants.
+
+    spatial_parallel > 1 adds a 'space' mesh axis and shards the image H
+    dimension across it (spatial partitioning — the conv-workload analog of
+    context parallelism, SURVEY.md section 5.7; absent in the reference).
+    GSPMD partitions every convolution spatially and inserts the halo
+    exchanges over ICI.  This is the LATENCY scale-out: a single frame's
+    conv work spreads over chips where DP has nothing to split (batch-1
+    serving).  Composes with DP (('data','space') mesh) and with TP."""
 
     def __init__(self, spec, yolo_params, kpd_params, kp3d, cam_K,
                  cfg: PipelineConfig | None = None, mesh=None,
-                 n_devices=None, model_parallel: int = 1):
+                 n_devices=None, model_parallel: int = 1,
+                 spatial_parallel: int = 1):
         self.cfg = cfg or PipelineConfig()
         if self.cfg.det_capacity > 1 and self.cfg.host_pose_nms:
             raise ValueError(
@@ -36,7 +45,8 @@ class ShardedPosePipeline:
                 "reference-style host clustering (host_pose_nms=True) "
                 "breaks the graph — use PosePipeline, or the default "
                 "device pose-NMS (host_pose_nms=False)")
-        self.mesh = mesh or mesh_mod.make_mesh(n_devices, model_parallel)
+        self.mesh = mesh or mesh_mod.make_mesh(n_devices, model_parallel,
+                                               spatial_parallel)
         self.spec = spec
         if model_parallel > 1 or "model" in self.mesh.shape:
             self.yolo_params = mesh_mod.shard_params_tp(self.mesh,
@@ -53,6 +63,6 @@ class ShardedPosePipeline:
         self._step = jax.jit(step)
 
     def __call__(self, frames_u8):
-        frames = mesh_mod.shard_batch(self.mesh, jnp.asarray(frames_u8))
+        frames = mesh_mod.shard_frames(self.mesh, jnp.asarray(frames_u8))
         return self._step(self.yolo_params, self.kpd_params, frames,
                           self.kp3d, self.cam_K)

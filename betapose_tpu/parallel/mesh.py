@@ -18,17 +18,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: int | None = None, model_parallel: int = 1,
-              devices=None) -> Mesh:
-    """1-D ('data',) or 2-D ('data','model') mesh over the first n devices."""
+              spatial_parallel: int = 1, devices=None) -> Mesh:
+    """Mesh over the first n devices: ('data',) by default, plus a 'model'
+    axis (tensor parallelism) when model_parallel > 1 and/or a 'space' axis
+    (spatial partitioning of the image H dimension — the CP analog for
+    conv workloads, SURVEY.md section 5.7) when spatial_parallel > 1."""
     devices = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
         devices = devices[:n_devices]
     n = len(devices)
+    inner = model_parallel * spatial_parallel
+    assert n % inner == 0, (n, model_parallel, spatial_parallel)
+    axes = [("data", n // inner)]
+    if spatial_parallel > 1:
+        axes.append(("space", spatial_parallel))
     if model_parallel > 1:
-        assert n % model_parallel == 0
-        arr = np.array(devices).reshape(n // model_parallel, model_parallel)
-        return Mesh(arr, ("data", "model"))
-    return Mesh(np.array(devices), ("data",))
+        axes.append(("model", model_parallel))
+    arr = np.array(devices).reshape([s for _, s in axes])
+    return Mesh(arr, tuple(name for name, _ in axes))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -44,6 +51,21 @@ def shard_batch(mesh: Mesh, tree):
     'data'."""
     s = batch_sharded(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+
+def frame_sharded(mesh: Mesh) -> NamedSharding:
+    """Sharding for image batches [B, H, W, C]: batch on 'data', and image
+    ROWS on 'space' when the mesh carries a spatial axis.  Under a spatial
+    axis XLA/GSPMD partitions every conv spatially and inserts the halo
+    exchanges itself — the latency-scaling path for small batches, where
+    data parallelism has nothing left to split."""
+    if "space" in mesh.shape:
+        return NamedSharding(mesh, P("data", "space"))
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_frames(mesh: Mesh, frames):
+    return jax.device_put(frames, frame_sharded(mesh))
 
 
 def replicate(mesh: Mesh, tree):

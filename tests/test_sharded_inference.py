@@ -160,6 +160,63 @@ def test_sharded_multi_candidate_matches_single_device():
                                    err_msg=k)
 
 
+def test_spatial_sharded_batch1_matches_single_device():
+    """1x8 ('data','space') mesh — ONE frame's rows spread over 8 devices
+    (spatial conv partitioning, GSPMD halo exchange).  The batch-1 latency
+    scale-out: DP has nothing to split at batch 1; the 'space' axis does."""
+    assert jax.device_count() >= 8
+    spec = yolo_mod.build_spec(TINY_YOLO_CFG)
+    yolo_params = yolo_mod.fold_bn(
+        spec, yolo_mod.init_params(jax.random.PRNGKey(0), spec))
+    kpd_params = kpd_mod.init_params(jax.random.PRNGKey(1), n_classes=6,
+                                     arch="resnet50")
+    kp3d = np.random.default_rng(0).standard_normal((6, 3)) * 0.05
+    cfg = PipelineConfig(reso=96, inp_h=64, inp_w=32, out_h=16, out_w=8,
+                         n_kp=6, left_keypoints=6, compute_dtype="float32",
+                         pallas_decode=False)
+    frames = np.random.default_rng(3).integers(
+        0, 255, (1, 120, 160, 3), dtype=np.uint8)
+
+    single = PosePipeline(spec, yolo_params, kpd_params, kp3d, CAM_K, cfg)
+    out1 = {k: np.asarray(v) for k, v in single(frames).items()}
+
+    sp = ShardedPosePipeline(spec, yolo_params, kpd_params, kp3d, CAM_K,
+                             cfg, n_devices=8, spatial_parallel=8)
+    assert dict(sp.mesh.shape) == {"data": 1, "space": 8}
+    out2 = {k: np.asarray(v) for k, v in sp(frames).items()}
+    for k in out1:
+        np.testing.assert_allclose(out1[k], out2[k], rtol=1e-3, atol=1e-3,
+                                   err_msg=k)
+
+
+def test_dp_x_spatial_sharded_matches_single_device():
+    """2x4 ('data','space') mesh: batch sharded two ways at once — frames
+    across 'data', each frame's rows across 'space'."""
+    assert jax.device_count() >= 8
+    spec = yolo_mod.build_spec(TINY_YOLO_CFG)
+    yolo_params = yolo_mod.fold_bn(
+        spec, yolo_mod.init_params(jax.random.PRNGKey(0), spec))
+    kpd_params = kpd_mod.init_params(jax.random.PRNGKey(1), n_classes=6,
+                                     arch="resnet50")
+    kp3d = np.random.default_rng(0).standard_normal((6, 3)) * 0.05
+    cfg = PipelineConfig(reso=96, inp_h=64, inp_w=32, out_h=16, out_w=8,
+                         n_kp=6, left_keypoints=6, compute_dtype="float32",
+                         pallas_decode=False)
+    frames = np.random.default_rng(4).integers(
+        0, 255, (4, 120, 160, 3), dtype=np.uint8)
+
+    single = PosePipeline(spec, yolo_params, kpd_params, kp3d, CAM_K, cfg)
+    out1 = {k: np.asarray(v) for k, v in single(frames).items()}
+
+    sp = ShardedPosePipeline(spec, yolo_params, kpd_params, kp3d, CAM_K,
+                             cfg, n_devices=8, spatial_parallel=4)
+    assert dict(sp.mesh.shape) == {"data": 2, "space": 4}
+    out2 = {k: np.asarray(v) for k, v in sp(frames).items()}
+    for k in out1:
+        np.testing.assert_allclose(out1[k], out2[k], rtol=1e-3, atol=1e-3,
+                                   err_msg=k)
+
+
 def test_sharded_rejects_host_clustering_mode():
     spec = yolo_mod.build_spec(TINY_YOLO_CFG)
     cfg = PipelineConfig(det_capacity=3, host_pose_nms=True)
