@@ -8,7 +8,7 @@ Counterpart of the vendored darknet's command surface
   python -m betapose_tpu.tools.darknet_cli detector valid  <data> <cfg> <weights>
   python -m betapose_tpu.tools.darknet_cli detector recall <data> <cfg> <weights>
   python -m betapose_tpu.tools.darknet_cli detector map    <data> <cfg> <weights> [-iou_thresh .25]
-  python -m betapose_tpu.tools.darknet_cli detector demo   <data> <cfg> <weights> [video] [-out_filename o.avi] [-c 0] [-max_frames N]
+  python -m betapose_tpu.tools.darknet_cli detector demo   <data> <cfg> <weights> [video] [-out_filename o.avi] [-c 0] [-max_frames N] [-http_port 8090]
   python -m betapose_tpu.tools.darknet_cli detector calc_anchors <data> -num_of_clusters 9 -width 416 -height 416
   python -m betapose_tpu.tools.darknet_cli partial <cfg> <weights> <out> <cutoff>
   python -m betapose_tpu.tools.darknet_cli average <cfg> <out> <w1> <w2> [...]
@@ -245,13 +245,15 @@ def cmd_recall(data, cfg, weights, thresh=0.001, iou_thresh=0.5):
 
 
 def cmd_demo(data, cfg, weights, video=None, thresh=0.24, nms_thresh=0.45,
-             out_filename=None, batch=8, webcam="0", max_frames=None):
+             out_filename=None, batch=8, webcam="0", max_frames=None,
+             http_port=None):
     """`detector demo` equivalent (`detector.c:1287-1297` -> demo.c): run
     the detector continuously over a video file (or webcam when no file is
     given), print per-frame detections, and optionally write an overlay
     video (darknet's `-out_filename`).  max_frames bounds the webcam loop
     (darknet runs until keypress; a CLI flag is the non-interactive
-    analog)."""
+    analog).  http_port serves the overlay frames as an MJPEG HTTP stream
+    (darknet's `-http_port`, `detector.c:1230` -> http_stream.cpp)."""
     import cv2
     import jax
     import jax.numpy as jnp
@@ -278,6 +280,11 @@ def cmd_demo(data, cfg, weights, video=None, thresh=0.24, nms_thresh=0.45,
         return _postprocess_dets(preds, dims, reso, thresh, nms_thresh)
 
     writer = None
+    streamer = None
+    if http_port is not None:
+        from betapose_tpu.tools.http_stream import MjpegStreamer
+        streamer = MjpegStreamer(int(http_port))
+        print(f"MJPEG stream on http://0.0.0.0:{streamer.port}/")
     n_frames = 0
     n_dets = 0
 
@@ -290,12 +297,15 @@ def cmd_demo(data, cfg, weights, video=None, thresh=0.24, nms_thresh=0.45,
                      else str(int(d[5])))
             print(f"frame {n_frames}: {cname} {d[4]:.3f} "
                   f"[{d[0]:.0f},{d[1]:.0f},{d[2]:.0f},{d[3]:.0f}]")
-        if writer is not None:
+        if writer is not None or streamer is not None:
             img = frame_rgb.copy()
             for d in dets:
                 cv2.rectangle(img, (int(d[0]), int(d[1])),
                               (int(d[2]), int(d[3])), (60, 255, 120), 2)
-            writer.write_rgb(img)
+            if writer is not None:
+                writer.write_rgb(img)
+            if streamer is not None:
+                streamer.write_rgb(img)
 
     if video:
         loader = VideoLoader(video, batch_size=batch)
@@ -319,6 +329,8 @@ def cmd_demo(data, cfg, weights, video=None, thresh=0.24, nms_thresh=0.45,
             cam.stop()
     if writer is not None:
         writer.release()
+    if streamer is not None:
+        streamer.close()
     print(f"demo: {n_frames} frames, {n_dets} detections")
     return n_frames
 
@@ -872,10 +884,20 @@ def main(argv=None):
                         out_filename=flags.get("out_filename"),
                         webcam=flags.get("c", "0"),
                         max_frames=int(flags["max_frames"])
-                        if "max_frames" in flags else None)
+                        if "max_frames" in flags else None,
+                        http_port=int(flags["http_port"])
+                        if "http_port" in flags else None)
     print(f"unknown verb {verb}")
     return 1
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    # main() returns exit codes (0/1) for usage/validation paths but DATA
+    # for verbs whose value is useful to Python callers (demo frame count,
+    # recall ratio, ops count).  The darknet binary always exits 0 on a
+    # completed verb — map data returns to exit 0 so shell `&&` chains
+    # behave (a demo that processed N frames must not exit N).
+    out = main()
+    code = out if (isinstance(out, int) and not isinstance(out, bool)
+                   and out in (0, 1)) else 0
+    raise SystemExit(code)

@@ -198,6 +198,74 @@ class TestDemoVerb:
         n = darknet_cli.cmd_demo(
             tiny_dataset["data"], tiny_dataset["cfg"], None,
             video=video, thresh=0.3, out_filename=out_video, batch=3,
-            max_frames=5)
+            max_frames=5, http_port=0)   # -http_port plumbed; 0 = ephemeral
         assert n == 5
         assert os.path.exists(out_video) and os.path.getsize(out_video) > 0
+
+
+class TestMjpegStream:
+    def test_protocol_and_frames(self):
+        """MJPEG push server speaks the reference's exact wire format
+        (http_stream.cpp:167-182): multipart/x-mixed-replace with boundary
+        'mjpegstream', per-part Content-Length, decodable JPEG payloads."""
+        import socket
+        from betapose_tpu.tools.http_stream import MjpegStreamer
+
+        streamer = MjpegStreamer(0, quality=90)
+        client = socket.create_connection(("127.0.0.1", streamer.port),
+                                          timeout=5)
+        client.sendall(b"GET / HTTP/1.0\r\n\r\n")
+        rng = np.random.default_rng(0)
+        frames = [rng.integers(0, 255, (32, 48, 3), dtype=np.uint8)
+                  for _ in range(2)]
+        for f in frames:
+            streamer.write_rgb(f)
+
+        client.settimeout(5)
+        buf = b""
+        while buf.count(b"--mjpegstream") < 2:
+            chunk = client.recv(65536)
+            if not chunk:
+                break
+            buf = buf + chunk
+        client.close()
+        streamer.close()
+
+        head, _, rest = buf.partition(b"\r\n\r\n")
+        assert b"HTTP/1.0 200 OK" in head
+        assert (b"Content-Type: multipart/x-mixed-replace; "
+                b"boundary=mjpegstream") in head
+        parts = rest.split(b"--mjpegstream")
+        decoded = 0
+        for part in parts:
+            if b"Content-Length:" not in part:
+                continue
+            ph, _, body = part.partition(b"\r\n\r\n")
+            n = int(ph.split(b"Content-Length:")[1].split(b"\r\n")[0])
+            assert b"Content-Type: image/jpeg" in ph
+            jpg = body[:n]
+            assert len(jpg) == n
+            img = cv2.imdecode(np.frombuffer(jpg, np.uint8),
+                               cv2.IMREAD_COLOR)
+            assert img is not None and img.shape == (32, 48, 3)
+            decoded += 1
+        assert decoded == 2
+
+    def test_dead_client_dropped(self):
+        import socket
+        from betapose_tpu.tools.http_stream import MjpegStreamer
+
+        streamer = MjpegStreamer(0)
+        client = socket.create_connection(("127.0.0.1", streamer.port),
+                                          timeout=5)
+        frame = np.zeros((16, 16, 3), np.uint8)
+        streamer.write_rgb(frame)
+        assert len(streamer._clients) == 1
+        client.close()
+        # a couple of writes into the closed socket surface the error and
+        # the client is dropped (reference 'kill client' path)
+        streamer.write_rgb(frame)
+        streamer.write_rgb(frame)
+        streamer.write_rgb(frame)
+        assert len(streamer._clients) == 0
+        streamer.close()
