@@ -21,7 +21,7 @@ import time
 import numpy as np
 
 
-def _bench_kpd(jax, jnp, iters, warmup, batch=28):
+def _bench_kpd(jax, jnp, iters, warmup, batch=28, precision=None):
     from betapose_tpu.models import kpd as kpd_mod
     from betapose_tpu.train import kpd_train
     from betapose_tpu.train.augment import AugmentConfig, augment_batch
@@ -30,7 +30,9 @@ def _bench_kpd(jax, jnp, iters, warmup, batch=28):
                                  arch="resnet101")
     tx = kpd_train.make_optimizer("adam", lr=2.5e-4)
     opt_state = tx.init(params)
-    step = kpd_train.make_train_step(tx, out_res_h=80)
+    step = kpd_train.make_train_step(
+        tx, out_res_h=80,
+        matmul_precision=precision or kpd_train.DEFAULT_TRAIN_PRECISION)
     aug_cfg = AugmentConfig(add_dpg=True)
 
     rng = np.random.default_rng(0)
@@ -59,7 +61,8 @@ def _bench_kpd(jax, jnp, iters, warmup, batch=28):
     return batch * iters / dt, float(m["loss"])
 
 
-def _bench_yolo(jax, jnp, iters, warmup, batch=64, reso=416):
+def _bench_yolo(jax, jnp, iters, warmup, batch=64, reso=416,
+                precision=None):
     from betapose_tpu.models import yolov3 as yolo_mod
     from betapose_tpu.models.darknet_cfg import make_yolov3_cfg
     from betapose_tpu.train import yolo_train
@@ -69,7 +72,9 @@ def _bench_yolo(jax, jnp, iters, warmup, batch=64, reso=416):
     cfg = yolo_train.YoloTrainConfig()
     tx = yolo_train.make_optimizer(cfg)
     opt_state = tx.init(params)
-    step = yolo_train.make_train_step(spec, tx, reso, reso)
+    step = yolo_train.make_train_step(
+        spec, tx, reso, reso,
+        matmul_precision=precision or yolo_train.DEFAULT_TRAIN_PRECISION)
 
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(rng.random((batch, reso, reso, 3), np.float32))
@@ -103,8 +108,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    kpd_ips, kpd_loss = _bench_kpd(jax, jnp, iters, warmup)
-    yolo_ips, yolo_loss = _bench_yolo(jax, jnp, iters, warmup)
+    from betapose_tpu.train.kpd_train import DEFAULT_TRAIN_PRECISION
+    precision = os.environ.get("BENCH_TRAIN_PRECISION") \
+        or DEFAULT_TRAIN_PRECISION
+    kpd_ips, kpd_loss = _bench_kpd(jax, jnp, iters, warmup,
+                                   precision=precision)
+    yolo_ips, yolo_loss = _bench_yolo(jax, jnp, iters, warmup,
+                                      precision=precision)
     print(json.dumps({
         "metric": "train_imgs_per_sec_per_chip",
         "kpd_train_ips": round(kpd_ips, 2),
@@ -113,6 +123,7 @@ def main():
         "yolo_train_ips": round(yolo_ips, 2),
         "yolo_batch": 64,
         "yolo_loss_finite": bool(np.isfinite(yolo_loss)),
+        "train_precision": precision,
         "device": str(jax.devices()[0].device_kind),
         "note": ("steady-state imgs/sec, single chip, augmentation "
                  "included in the measured loop (DPG for KPD, "

@@ -3,7 +3,7 @@
 Counterpart of the vendored darknet's command surface
 (`train_YOLO/src/darknet.c:351` main -> `detector.c:1225` run_detector):
 
-  python -m betapose_tpu.tools.darknet_cli detector train  <data> <cfg> [weights] [-clear] [-gpus 0,1] [-resize_buckets 3]
+  python -m betapose_tpu.tools.darknet_cli detector train  <data> <cfg> [weights] [-clear] [-gpus 0,1] [-resize_buckets 3] [-precision bfloat16|tensorfloat32|float32]
   python -m betapose_tpu.tools.darknet_cli detector test   <data> <cfg> <weights> <image> [-thresh .24]
   python -m betapose_tpu.tools.darknet_cli detector valid  <data> <cfg> <weights>
   python -m betapose_tpu.tools.darknet_cli detector recall <data> <cfg> <weights>
@@ -860,7 +860,10 @@ def main(argv=None):
             # static analog of darknet's per-10-iter random resize
             # (detector.c:131-161, ~10 sizes); more buckets = finer
             # distribution but one XLA compile each (PARITY deviation d7)
-            resize_buckets=int(flags.get("resize_buckets", 3)))
+            resize_buckets=int(flags.get("resize_buckets", 3)),
+            # MXU mode for the train step (-precision bfloat16|
+            # tensorfloat32|float32); default yolo_train.DEFAULT_TRAIN_PRECISION
+            precision=flags.get("precision"))
     if verb == "calc_anchors":
         return cmd_calc_anchors(
             pos[0],

@@ -217,7 +217,7 @@ def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=1500,
                  add_dpg=False, kpd_finetune_iters=0, kpd_batch=8,
                  z_range=(0.55, 0.8), left_keypoints=None, params_dir=None,
                  pnp_robust_rounds=0, occlusion=False, det_capacity=1,
-                 pnp_score_power=0.0, verbose=True):
+                 pnp_score_power=0.0, train_precision=None, verbose=True):
     """params_dir: when set, trained weights are saved there
     (yolo.weights darknet-format + kpd.npz pytree) and reloaded on the
     next run instead of retraining — fast iteration on the eval side.
@@ -285,6 +285,12 @@ def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=1500,
               "kpd_finetune_iters": kpd_finetune_iters,
               "kpd_batch": kpd_batch, "add_dpg": add_dpg,
               "occlusion": occlusion}
+        # non-default MXU precision changes training numerics -> distinct
+        # cache; omitted for float32 so pre-existing caches stay valid
+        resolved_precision = (train_precision
+                              or kpd_train.DEFAULT_TRAIN_PRECISION)
+        if resolved_precision != "float32":
+            fp["train_precision"] = resolved_precision
         fp_path = os.path.join(params_dir, "config.json")
         if os.path.exists(fp_path):
             on_disk = json.load(open(fp_path))
@@ -309,8 +315,10 @@ def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=1500,
                                           scales=(0.1,), decay=5e-4)
         ytx = yolo_train.make_optimizer(ycfg)
         yopt = ytx.init(yparams)
-        ystep = yolo_train.make_train_step(spec, ytx, reso, reso,
-                                           donate=False)
+        ystep = yolo_train.make_train_step(
+            spec, ytx, reso, reso, donate=False,
+            matmul_precision=train_precision
+            or yolo_train.DEFAULT_TRAIN_PRECISION)
 
         truths = np.zeros((n_frames, 4, 5), np.float32)
         for i, bb in enumerate(bboxes[:n_frames]):
@@ -349,8 +357,10 @@ def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=1500,
         ktx = kpd_train.make_optimizer("adam", lr=1e-3,
                                        params_example=kparams)
         kopt = ktx.init(kparams)
-        kstep = kpd_train.make_train_step(ktx, out_res_h=out_h,
-                                          donate=False)
+        kstep = kpd_train.make_train_step(
+            ktx, out_res_h=out_h, donate=False,
+            matmul_precision=train_precision
+            or kpd_train.DEFAULT_TRAIN_PRECISION)
         # gentle augmentation for the toy task: the cube's mirror image
         # never occurs, and the tiny training budget can't absorb
         # flip/rotate noise
@@ -385,8 +395,10 @@ def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=1500,
             ktx2 = kpd_train.make_optimizer("adam", lr=1e-4,
                                             params_example=kparams)
             kopt2 = ktx2.init(kparams)
-            kstep2 = kpd_train.make_train_step(ktx2, out_res_h=out_h,
-                                               donate=False)
+            kstep2 = kpd_train.make_train_step(
+                ktx2, out_res_h=out_h, donate=False,
+                matmul_precision=train_precision
+                or kpd_train.DEFAULT_TRAIN_PRECISION)
             t0 = time.time()
             for it in range(kpd_finetune_iters):
                 sel = rng.integers(0, n_frames, kpd_batch)
@@ -486,6 +498,10 @@ def main(argv=None):
                         "the multi-candidate pose-NMS path + robust PnP "
                         "(the occlusion_betapose_evaluate.py capability)")
     p.add_argument("--det_capacity", type=int, default=None)
+    p.add_argument("--train_precision", type=str, default=None,
+                   choices=["bfloat16", "tensorfloat32", "float32"],
+                   help="MXU mode for both train steps (default: "
+                        "kpd_train.DEFAULT_TRAIN_PRECISION)")
     p.add_argument("--pnp_score_power", type=float, default=None,
                    help="PnP keypoint-score weighting exponent (default: "
                         "4 on the occlusion tier — measured ADD<0.1d 0.88 "
@@ -514,7 +530,8 @@ def main(argv=None):
             pnp_robust_rounds=2 if args.pnp_robust is None
             else args.pnp_robust,
             pnp_score_power=(4.0 if args.occlusion else 0.0)
-            if args.pnp_score_power is None else args.pnp_score_power)
+            if args.pnp_score_power is None else args.pnp_score_power,
+            train_precision=args.train_precision)
     else:
         stats = run_selftest(n_frames=args.frames,
                              yolo_iters=args.yolo_iters,
@@ -524,7 +541,8 @@ def main(argv=None):
                              params_dir=args.params_dir,
                              det_capacity=args.det_capacity or 1,
                              pnp_robust_rounds=args.pnp_robust or 0,
-                             pnp_score_power=args.pnp_score_power or 0.0)
+                             pnp_score_power=args.pnp_score_power or 0.0,
+                             train_precision=args.train_precision)
     return stats
 
 

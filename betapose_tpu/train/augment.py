@@ -74,7 +74,11 @@ def transform_box(pt, ul, br, inp_h, inp_w, res_h, res_w):
 
 def _rotate_image(img, deg):
     """Rotate about the image center by `deg` degrees (torchsample Rotate
-    semantics: output(x) = input(R^-1 x), bilinear, zero fill).  img: HWC."""
+    semantics: output(x) = input(R^-1 x), bilinear, zero fill).  img: HWC.
+
+    Gather-based single-pass transcription — kept as the semantic oracle for
+    `rotate_image_shear` (the augment hot path uses the shear version:
+    TPU gathers are ~100x slower than matmuls)."""
     h, w, _ = img.shape
     theta = -deg * jnp.pi / 180.0
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
@@ -86,6 +90,50 @@ def _rotate_image(img, deg):
     sx = jnp.broadcast_to(src_x, (h, w))
     sy = jnp.broadcast_to(src_y, (h, w))
     return image_ops._bilinear_gather(img, sy, sx)
+
+
+def rotate_image_shear(img, deg):
+    """MXU rotation via the two-pass Catmull-Smith warp — same coordinate
+    map as `_rotate_image` (output(p) = input(R(theta)(p-c)+c), theta =
+    -deg*pi/180, zero fill), with the 2-D bilinear kernel split into two
+    1-D bilinear passes (an x-pass then a y-pass), each an axis-aligned
+    hat-weight resample = a batched small matmul.  No TPU gathers.
+
+    R(theta) = [[p, q], [0, 1]] @ [[1, 0], [r, s]] with p = 1/cos(theta),
+    q = -tan(theta), r = sin(theta), s = cos(theta).  Because the x-pass
+    preserves rows and the y-pass only reads columns the x-pass wrote, the
+    intermediate needs NO canvas growth (unlike the 3-shear decomposition,
+    which clips corners at large angles).  Valid for |deg| < 90 (the
+    augmentation draws clip(N(0, 30), +-60))."""
+    h, w, _ = img.shape
+    theta = -deg * jnp.pi / 180.0
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    p, q = 1.0 / cos, -jnp.tan(theta)
+    r, s = sin, cos
+
+    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)
+    # x-pass: out1[i, xo] = img[i, p*(xo-cx) + q*(i-cy) + cx]  (1-D bilinear)
+    src1 = p * (xs[None, :] - cx) + q * (ys[:, None] - cy) + cx   # [h, w]
+    w1 = jnp.clip(1.0 - jnp.abs(src1[:, :, None] - xs[None, None, :]), 0.0)
+    out1 = jnp.einsum("ixw,iwc->ixc", w1.astype(img.dtype), img)
+    # y-pass: out[yo, x] = out1[r*(x-cx) + s*(yo-cy) + cy, x]
+    src2 = r * (xs[None, :] - cx) + s * (ys[:, None] - cy) + cy   # [h, w]
+    w2 = jnp.clip(1.0 - jnp.abs(src2[:, :, None] - ys[None, None, :]), 0.0)
+    return jnp.einsum("yxh,hxc->yxc", w2.astype(img.dtype), out1)
+
+
+def rotate_points(pts, deg, res_h: int, res_w: int):
+    """Where `_rotate_image` moves a feature at p: to R(theta)^-1(p-c)+c.
+    pts: (..., 2) (x, y) in a res_h x res_w canvas."""
+    phi = deg * jnp.pi / 180.0      # = -theta: the inverse rotation
+    cx, cy = (res_w - 1) / 2.0, (res_h - 1) / 2.0
+    dx = pts[..., 0] - cx
+    dy = pts[..., 1] - cy
+    cos, sin = jnp.cos(phi), jnp.sin(phi)
+    return jnp.stack([cos * dx - sin * dy + cx,
+                      sin * dx + cos * dy + cy], axis=-1)
 
 
 def _augment_one(key, img, bndbox, part, cfg: AugmentConfig, kp_vis=None):
@@ -177,30 +225,40 @@ def _augment_one(key, img, bndbox, part, cfg: AugmentConfig, kp_vis=None):
         idx = jnp.where(joint_num > 13, idx, 8)
         ul, br = jax.lax.switch(idx, variants)
 
-    inp = image_ops.crop_box(img, ul, br, cfg.inp_h, cfg.inp_w)
+    # separable-matmul crop (crop_box_matmul == crop_box, equivalence-tested;
+    # the gather version is ~100x slower on TPU and dominated the train step)
+    inp = image_ops.crop_box_matmul(img, ul, br, cfg.inp_h, cfg.inp_w)
     inp = jnp.where(joint_num == 0, jnp.zeros_like(inp), inp)
 
     vis = visible(ul, br)
     hm_pts = transform_box(part, ul, br, cfg.inp_h, cfg.inp_w,
                            cfg.out_h, cfg.out_w)
+
+    if cfg.train:
+        do_flip = (jax.random.uniform(keys[7]) < 0.5) & cfg.flip
+        inp = jnp.where(do_flip, inp[:, ::-1, :], inp)
+
+        r = _rnd(keys[8], cfg.rotate)
+        r = jnp.where(jax.random.uniform(keys[9]) < 0.6, 0.0, r)
+        inp = jnp.where(r != 0, rotate_image_shear(inp, r), inp)
+
+        # Labels: the reference flips/rotates the DRAWN heatmaps
+        # (pose.py:129-143); with isotropic gaussians that equals moving the
+        # centers, so flip/rotate the keypoints analytically and draw once —
+        # no label-image resample.  Deviation: the drawn gaussian stays
+        # crisp at the rounded rotated center instead of picking up the
+        # reference's bilinear resampling blur (see PARITY.md).
+        flipped_x = jnp.where(do_flip, cfg.out_w - 1.0 - hm_pts[..., 0],
+                              hm_pts[..., 0])
+        hm_pts = jnp.stack([flipped_x, hm_pts[..., 1]], axis=-1)
+        hm_pts = jnp.round(rotate_points(hm_pts, r, cfg.out_h, cfg.out_w))
+
     labels = hm_ops.draw_gaussian_batch(
         hm_pts[None], cfg.out_h, cfg.out_w, sigma=cfg.hm_gauss)[0]
     labels = labels * vis[:, None, None]              # [K, out_h, out_w]
     if kp_vis is not None:
         labels = labels * kp_vis[:, None, None]
     set_mask = jnp.ones((n_kp, cfg.out_h, cfg.out_w), labels.dtype)
-
-    if cfg.train:
-        do_flip = (jax.random.uniform(keys[7]) < 0.5) & cfg.flip
-        inp = jnp.where(do_flip, inp[:, ::-1, :], inp)
-        labels = jnp.where(do_flip, labels[:, :, ::-1], labels)
-
-        r = _rnd(keys[8], cfg.rotate)
-        r = jnp.where(jax.random.uniform(keys[9]) < 0.6, 0.0, r)
-        inp = jnp.where(r != 0, _rotate_image(inp, r), inp)
-        labels_hwc = labels.transpose(1, 2, 0)
-        labels_rot = _rotate_image(labels_hwc, r).transpose(2, 0, 1)
-        labels = jnp.where(r != 0, labels_rot, labels)
 
     # NHWC for the train step
     return inp, labels.transpose(1, 2, 0), set_mask.transpose(1, 2, 0)

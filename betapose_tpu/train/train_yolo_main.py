@@ -62,7 +62,8 @@ def resolution_buckets(base: int, span: float = 0.4, n: int = 3):
 def train_from_data_cfg(data_path, cfg_path, weights_path=None,
                         clear=False, n_devices=None, batch=None,
                         snapshot_every=100, log_every=1,
-                        resize_buckets=3, max_batches=None):
+                        resize_buckets=3, max_batches=None,
+                        precision=None):
     from betapose_tpu.tools.darknet_cli import read_data_cfg
 
     opts = read_data_cfg(data_path)
@@ -97,8 +98,10 @@ def train_from_data_cfg(data_path, cfg_path, weights_path=None,
 
     buckets = resolution_buckets(base_reso, n=resize_buckets) \
         if int(net.get("random", 0)) else [base_reso]
+    precision = precision or yolo_train.DEFAULT_TRAIN_PRECISION
     steps_by_reso = {
-        r: yolo_train.make_train_step(spec, tx, r, r, donate=False)
+        r: yolo_train.make_train_step(spec, tx, r, r, donate=False,
+                                      matmul_precision=precision)
         for r in buckets}
     print(f"resolution buckets: {buckets}")
     has_dropout = any(l.kind == "dropout" for l in spec.layers)

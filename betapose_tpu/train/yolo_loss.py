@@ -480,6 +480,7 @@ def yolo_loss(spec, params, images, truths, net_w, net_h,
     total = 0.0
     metrics = {}
     for k, (raw, hs) in enumerate(zip(raw_heads, head_specs)):
+        raw = raw.astype(jnp.float32)   # head loss math always in f32
         if hs.kind == "yolo":
             li, m = head_loss(raw, hs.anchors, all_anchors, hs.num_classes,
                               net_w, net_h, truths, hs.ignore_thresh)

@@ -33,6 +33,7 @@ import numpy as np
 import optax
 
 from betapose_tpu.models import yolov3 as yolo_mod
+from betapose_tpu.train.kpd_train import DEFAULT_TRAIN_PRECISION
 from betapose_tpu.train.yolo_loss import yolo_loss
 
 
@@ -252,7 +253,13 @@ def augment_detection_batch(key, imgs, truths, cfg: YoloTrainConfig,
 # Train step
 # ---------------------------------------------------------------------------
 
-def make_train_step(spec, tx, net_w: int, net_h: int, donate: bool = True):
+def make_train_step(spec, tx, net_w: int, net_h: int, donate: bool = True,
+                    matmul_precision: str = DEFAULT_TRAIN_PRECISION):
+    """matmul_precision: MXU mode for the conv forward+backward —
+    'bfloat16' (1-pass bf16 multiplies, f32 accumulation; ~2.3x the
+    'float32' step rate, selftest-verified), 'tensorfloat32' (3-pass),
+    'float32' (6-pass exact).  The head losses, BN statistics, and the
+    optimizer always run in f32."""
     @functools.partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def train_step(params, opt_state, images, truths, seen=10**9,
                    dropout_key=None):
@@ -262,12 +269,10 @@ def make_train_step(spec, tx, net_w: int, net_h: int, donate: bool = True):
         # [dropout] layers (v1 classifier-style cfgs); None = identity.
         def loss_fn(p):
             bn_stats = {}
-            # TPU matmuls default to bfloat16 inputs; training needs f32
-            # accumulation (bf16 gradient noise destabilizes the yolo loss).
             # Batch-stat BN (train=True) matches darknet's
             # forward_batchnorm_layer — without it activations are
             # unnormalized and the deep stack eventually overflows.
-            with jax.default_matmul_precision("float32"):
+            with jax.default_matmul_precision(matmul_precision):
                 loss, metrics = yolo_loss(spec, p, images, truths,
                                           net_w, net_h, train=True,
                                           bn_stats=bn_stats, seen=seen,

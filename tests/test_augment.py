@@ -6,7 +6,8 @@ import jax
 import jax.numpy as jnp
 
 from betapose_tpu.train.augment import (AugmentConfig, augment_batch,
-                                        transform_box, _rotate_image)
+                                        transform_box, _rotate_image,
+                                        rotate_image_shear, rotate_points)
 from betapose_tpu.data import annot
 from betapose_tpu.ops import image as image_ops
 
@@ -39,6 +40,50 @@ class TestRotate:
         img = jnp.zeros((8, 8, 1)).at[1, 1, 0].set(1.0)
         out = np.asarray(_rotate_image(img, jnp.asarray(180.0)))
         assert out[6, 6, 0] > 0.9
+
+    def test_shear_matches_gather_oracle(self):
+        """rotate_image_shear (3x 1-D bilinear) vs _rotate_image (one 2-D
+        bilinear) over the augmentation's angle range: identical zero-fill
+        footprint, small interpolation blur in the interior."""
+        rng = np.random.default_rng(3)
+        # smooth image so the 1-D-vs-2-D kernel difference stays tiny
+        base = rng.random((12, 10, 3)).astype(np.float32)
+        img = jnp.asarray(np.kron(base, np.ones((4, 4, 1), np.float32)))
+        # tolerance grows with |deg|: the x-pass minifies by 1/cos(theta),
+        # so the unit-width hat kernel aliases slightly at rare large
+        # angles (2.7% of draws exceed 45 deg); geometry stays exact.
+        for deg, tol_mean, tol_max in ((-60.0, 0.05, 0.45), (-30.0, 0.01, 0.2),
+                                       (7.5, 0.002, 0.08), (30.0, 0.01, 0.2),
+                                       (60.0, 0.05, 0.45)):
+            ref = np.asarray(_rotate_image(img, jnp.asarray(deg)))
+            got = np.asarray(rotate_image_shear(img, jnp.asarray(deg)))
+            assert np.abs(ref - got).mean() < tol_mean, deg
+            assert np.abs(ref - got).max() < tol_max, deg
+
+    def test_shear_zero_identity(self):
+        img = jnp.asarray(np.random.default_rng(4).random((16, 12, 3)),
+                          jnp.float32)
+        out = rotate_image_shear(img, jnp.asarray(0.0))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(img),
+                                   atol=1e-5)
+
+    def test_rotate_points_tracks_rotated_impulse(self):
+        """Drawing at rotate_points(center) must match rotating the drawn
+        map: the peak of _rotate_image(impulse) sits at rotate_points(pt)."""
+        h, w = 33, 29
+        for deg in (-30.0, 12.0, 30.0):
+            for pt in ((8.0, 6.0), (20.0, 14.0)):
+                img = jnp.zeros((h, w, 1)).at[int(pt[1]), int(pt[0]), 0].set(1.0)
+                out = np.asarray(_rotate_image(img, jnp.asarray(deg)))[..., 0]
+                got = np.asarray(rotate_points(
+                    jnp.asarray(pt), jnp.asarray(deg), h, w))
+                py, px = np.unravel_index(np.argmax(out), out.shape)
+                if out.max() < 0.05:      # rotated out of canvas
+                    assert not (0 <= got[0] < w and 0 <= got[1] < h)
+                    continue
+                # bilinear mass spreads over 4 px; peak within 1 px
+                assert abs(px - got[0]) <= 1.0 and abs(py - got[1]) <= 1.0, \
+                    (deg, pt, (px, py), got)
 
 
 class TestAugmentBatch:
