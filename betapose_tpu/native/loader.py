@@ -44,13 +44,21 @@ def build_native(force: bool = False) -> str | None:
     gxx = shutil.which("g++") or shutil.which("c++")
     if gxx is None:
         return None
-    cmd = [gxx, "-O3", "-std=c++17", "-shared", "-fPIC", "-o", _LIB, _SRC,
+    # compile to a per-process temp path and rename into place: concurrent
+    # builders (process-pool workers racing on first use) must never CDLL a
+    # half-written .so; os.rename is atomic within the directory
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
+    cmd = [gxx, "-O3", "-std=c++17", "-shared", "-fPIC", "-o", tmp, _SRC,
            "-lpng16", "-ljpeg", "-pthread"]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
+        os.rename(tmp, _LIB)
     except subprocess.CalledProcessError as e:
         sys.stderr.write(e.stderr.decode())
         return None
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
     return _LIB
 
 

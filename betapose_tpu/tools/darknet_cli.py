@@ -48,7 +48,17 @@ def read_data_cfg(path):
     return opts
 
 
-def _load_model(cfg_path, weights_path=None):
+class CliError(int):
+    """Error exit status distinguishable from DATA returns (frame counts,
+    ratios) that happen to equal 1 — the __main__ shim maps only CliError
+    to a nonzero process exit."""
+
+
+def _load_model(cfg_path, weights_path=None, require=False):
+    """require=True: a weights path that doesn't resolve is a hard error —
+    verbs that WRITE weight files (surgery) or report weight statistics
+    must never silently substitute random init (same convention as the
+    eval CLI's explicit-weights check)."""
     import jax
     from betapose_tpu.models import yolov3 as yolo_mod
     with open(cfg_path) as f:
@@ -58,6 +68,9 @@ def _load_model(cfg_path, weights_path=None):
         params, _ = yolo_mod.load_darknet_weights(spec, weights_path)
         print(f"Loaded weights from {weights_path}")
     else:
+        if require:
+            raise FileNotFoundError(
+                f"weights {weights_path} not found (required by this verb)")
         params = yolo_mod.init_params(jax.random.PRNGKey(0), spec)
         if weights_path:
             print(f"WARNING: weights {weights_path} not found, random init")
@@ -460,7 +473,7 @@ def cmd_partial(cfg, weights, out, cutoff: int):
     """darknet weight surgery `partial` (darknet.c): write the first
     `cutoff` layers to a new .weights file (backbone extraction)."""
     from betapose_tpu.models import yolov3 as yolo_mod
-    spec, params, _ = _load_model(cfg, weights)
+    spec, params, _ = _load_model(cfg, weights, require=True)
     yolo_mod.save_partial_weights(spec, params, out, int(cutoff))
     print(f"Saved first {cutoff} layers to {out}")
 
@@ -481,7 +494,7 @@ def cmd_calc_anchors(data, num_of_clusters=5, width=-1, height=-1,
         print("Usage: darknet detector calc_anchors data/voc.data "
               "-num_of_clusters 9 -width 416 -height 416 \n"
               "Error: set width and height ")
-        return 1
+        return CliError(1)
     opts = read_data_cfg(data)
     paths = [ln.strip() for ln in open(opts["train"]) if ln.strip()]
     print(f" read labels from {len(paths)} images ")
@@ -508,7 +521,7 @@ def cmd_calc_anchors(data, num_of_clusters=5, width=-1, height=-1,
     print(" all loaded. ")
     if n_boxes < num_of_clusters:
         print(f"Error: only {n_boxes} boxes for {num_of_clusters} clusters")
-        return 1
+        return CliError(1)
     points = np.asarray(wh, np.float32)
     print("\n calculating k-means++ ...")
     cv2.setRNGSeed(12345)
@@ -549,7 +562,7 @@ def cmd_average(cfg, out, weight_files):
     FIRST file's values); every other layer kind keeps the first file's
     params.  Transcribed exactly, quirk included."""
     from betapose_tpu.models import yolov3 as yolo_mod
-    spec, acc, _ = _load_model(cfg, weight_files[0])
+    spec, acc, _ = _load_model(cfg, weight_files[0], require=True)
     acc = [dict(p) for p in acc]
     conn_avg_keys = ("b", "bn_bias", "w")   # l.biases maps to bn_bias when BN
     for wf in weight_files[1:]:
@@ -588,7 +601,7 @@ def cmd_rescale(cfg, weights, out):
     b[o] += sum(w_scaled[..., o]) * -0.5  (input-range remap surgery)."""
     import jax.numpy as jnp
     from betapose_tpu.models import yolov3 as yolo_mod
-    spec, params, _ = _load_model(cfg, weights)
+    spec, params, _ = _load_model(cfg, weights, require=True)
     li, l = _first_conv(spec)
     p = dict(params[li])
     if l.in_channels == 3:
@@ -608,7 +621,7 @@ def cmd_rgbgr(cfg, weights, out):
     swap the R and B input-channel planes of the first conv layer's
     filters (convert weights trained on BGR input to RGB or back)."""
     from betapose_tpu.models import yolov3 as yolo_mod
-    spec, params, _ = _load_model(cfg, weights)
+    spec, params, _ = _load_model(cfg, weights, require=True)
     li, l = _first_conv(spec)
     if l.in_channels == 3:
         params = list(params)
@@ -650,7 +663,7 @@ def cmd_reset(cfg, weights, out):
     connected / GRU-sublayer, leaving identity BN arrays IN PLACE (the
     layers stay batch-normalized; contrast `denormalize`)."""
     from betapose_tpu.models import yolov3 as yolo_mod
-    spec, params, _ = _load_model(cfg, weights)
+    spec, params, _ = _load_model(cfg, weights, require=True)
     params = list(params)
     for li, l in enumerate(spec.layers):
         if not l.batch_normalize:
@@ -674,7 +687,7 @@ def cmd_denormalize(cfg, weights, out):
     removed — darknet shares that caveat."""
     import dataclasses as _dc
     from betapose_tpu.models import yolov3 as yolo_mod
-    spec, params, _ = _load_model(cfg, weights)
+    spec, params, _ = _load_model(cfg, weights, require=True)
     params = list(params)
     layers = list(spec.layers)
     for li, l in enumerate(layers):
@@ -716,7 +729,7 @@ def cmd_statistics(cfg, weights):
     stats.  darknet's weights line reads only the first `outputs` floats
     of the row-major [out, in] weight matrix — quirk transcribed (our w
     is [in, out], so that's w.T.ravel()[:outputs])."""
-    spec, params, _ = _load_model(cfg, weights)
+    spec, params, _ = _load_model(cfg, weights, require=True)
     for li, l in enumerate(spec.layers):
         if l.kind == "connected" and l.batch_normalize:
             print(f"Connected Layer {li}")
@@ -807,7 +820,7 @@ def main(argv=None):
         return cmd_ops(argv[1])
     if len(argv) < 2 or argv[0] not in ("detector", "classifier"):
         print(__doc__)
-        return 1
+        return CliError(1)
     family = argv[0]
     verb = argv[1]
     # boolean flags take no value (darknet find_arg vs find_char_arg,
@@ -849,7 +862,7 @@ def main(argv=None):
                 pos[0], pos[1], pos[2],
                 top=int(flags["t"]) if "t" in flags else None)
         print(f"unknown classifier verb {verb}")
-        return 1
+        return CliError(1)
 
     if verb == "train":
         from betapose_tpu.train.train_yolo_main import train_from_data_cfg
@@ -891,7 +904,7 @@ def main(argv=None):
                         http_port=int(flags["http_port"])
                         if "http_port" in flags else None)
     print(f"unknown verb {verb}")
-    return 1
+    return CliError(1)
 
 
 if __name__ == "__main__":
@@ -901,6 +914,4 @@ if __name__ == "__main__":
     # completed verb — map data returns to exit 0 so shell `&&` chains
     # behave (a demo that processed N frames must not exit N).
     out = main()
-    code = out if (isinstance(out, int) and not isinstance(out, bool)
-                   and out in (0, 1)) else 0
-    raise SystemExit(code)
+    raise SystemExit(1 if isinstance(out, CliError) else 0)

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import select
 import socket
+import time
 
 
 _MAIN_HEADER = (
@@ -60,34 +61,61 @@ class MjpegStreamer:
                 client, _ = self._srv.accept()
             except OSError:
                 return
+            # clients stay NON-blocking for their whole life: a stalled
+            # viewer (full TCP window) must never block the demo loop —
+            # the reference select()s for writability and drops slow
+            # clients (http_stream.cpp:155-182)
+            client.setblocking(False)
             try:
-                # drain the request line(s); the stream is push-only
-                client.settimeout(0.2)
+                # drain whatever request bytes arrived; the stream is
+                # push-only
+                client.recv(4096)
+            except OSError:
+                pass
+            if self._send_bounded(client, _MAIN_HEADER):
+                self._clients.append(client)
+            else:
                 try:
-                    client.recv(4096)
+                    client.close()
                 except OSError:
                     pass
-                client.settimeout(None)
-                client.sendall(_MAIN_HEADER)
+
+    @staticmethod
+    def _send_bounded(c, data: bytes, deadline_s: float = 0.25) -> bool:
+        """Send on a non-blocking socket, waiting for writability up to
+        deadline_s total.  Returns False (drop the client) on timeout or
+        socket error."""
+        view = memoryview(data)
+        end = time.monotonic() + deadline_s
+        while view:
+            try:
+                n = c.send(view)
+                view = view[n:]
+            except (BlockingIOError, InterruptedError):
+                left = end - time.monotonic()
+                if left <= 0:
+                    return False
+                _, w, _ = select.select([], [c], [], left)
+                if not w:
+                    return False
             except OSError:
-                client.close()
-                continue
-            self._clients.append(client)
+                return False
+        return True
 
     def write_jpeg(self, jpg: bytes):
         """Push one already-encoded JPEG to all clients (accepting any
-        pending connections first, `http_stream.cpp:155-182`)."""
+        pending connections first, `http_stream.cpp:155-182`).  Clients
+        that cannot take the frame within the send deadline are dropped,
+        like the reference's failed-write drop."""
         self._accept_pending()
-        head = (b"--mjpegstream\r\nContent-Type: image/jpeg\r\n"
-                + f"Content-Length: {len(jpg)}\r\n\r\n".encode())
+        part = (b"--mjpegstream\r\nContent-Type: image/jpeg\r\n"
+                + f"Content-Length: {len(jpg)}\r\n\r\n".encode()
+                + jpg + b"\r\n")
         alive = []
         for c in self._clients:
-            try:
-                c.sendall(head)
-                c.sendall(jpg)
-                c.sendall(b"\r\n")
+            if self._send_bounded(c, part):
                 alive.append(c)
-            except OSError:
+            else:
                 try:
                     c.close()
                 except OSError:

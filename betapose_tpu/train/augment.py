@@ -117,11 +117,16 @@ def rotate_image_shear(img, deg):
     # x-pass: out1[i, xo] = img[i, p*(xo-cx) + q*(i-cy) + cx]  (1-D bilinear)
     src1 = p * (xs[None, :] - cx) + q * (ys[:, None] - cy) + cx   # [h, w]
     w1 = jnp.clip(1.0 - jnp.abs(src1[:, :, None] - xs[None, None, :]), 0.0)
-    out1 = jnp.einsum("ixw,iwc->ixc", w1.astype(img.dtype), img)
-    # y-pass: out[yo, x] = out1[r*(x-cx) + s*(yo-cy) + cy, x]
-    src2 = r * (xs[None, :] - cx) + s * (ys[:, None] - cy) + cy   # [h, w]
-    w2 = jnp.clip(1.0 - jnp.abs(src2[:, :, None] - ys[None, None, :]), 0.0)
-    return jnp.einsum("yxh,hxc->yxc", w2.astype(img.dtype), out1)
+    # f32 inputs keep the f32-precision pin (TPU matmuls on f32 inputs
+    # otherwise run 1-pass bf16), same convention as crop_box_matmul
+    prec = "float32" if img.dtype == jnp.float32 else "default"
+    with jax.default_matmul_precision(prec):
+        out1 = jnp.einsum("ixw,iwc->ixc", w1.astype(img.dtype), img)
+        # y-pass: out[yo, x] = out1[r*(x-cx) + s*(yo-cy) + cy, x]
+        src2 = r * (xs[None, :] - cx) + s * (ys[:, None] - cy) + cy  # [h, w]
+        w2 = jnp.clip(1.0 - jnp.abs(src2[:, :, None] - ys[None, None, :]),
+                      0.0)
+        return jnp.einsum("yxh,hxc->yxc", w2.astype(img.dtype), out1)
 
 
 def rotate_points(pts, deg, res_h: int, res_w: int):

@@ -91,6 +91,8 @@ def train_from_data_cfg(data_path, cfg_path, weights_path=None,
 
     tx = yolo_train.make_optimizer(tcfg)
     opt_state = tx.init(params)
+    opt_state = yolo_train.fast_forward_opt_state(
+        opt_state, seen // global_batch)
 
     mesh = mesh_mod.make_mesh(n_devices)
     params = mesh_mod.replicate(mesh, params)

@@ -98,6 +98,21 @@ def make_optimizer(cfg: YoloTrainConfig):
     return optax.masked(tx, _trainable_mask)
 
 
+def fast_forward_opt_state(opt_state, start_iter: int):
+    """Resume semantics: darknet's get_current_rate reads net.seen, so a
+    resumed run continues the LR schedule mid-curve.  optax schedule
+    counters start at 0 on tx.init — set them to the resumed iteration,
+    otherwise burn-in re-ramps and poly/step schedules restart (while the
+    PRINTED rate, computed from the loop index, looks right)."""
+    if start_iter <= 0:
+        return opt_state
+    try:
+        return optax.tree_utils.tree_set(
+            opt_state, count=jnp.asarray(start_iter, jnp.int32))
+    except KeyError:          # stateless schedule (constant lr)
+        return opt_state
+
+
 # ---------------------------------------------------------------------------
 # On-device detection augmentation
 # ---------------------------------------------------------------------------

@@ -268,4 +268,39 @@ class TestMjpegStream:
         streamer.write_rgb(frame)
         streamer.write_rgb(frame)
         assert len(streamer._clients) == 0
+
+    def test_stalled_client_does_not_block_writes(self):
+        """A viewer that stops reading (full TCP receive window) must not
+        freeze the demo loop: writes stay bounded and the stalled client
+        is eventually dropped (reference MJPGWriter select()+drop)."""
+        import socket
+        import time as _t
+        from betapose_tpu.tools.http_stream import MjpegStreamer
+
+        streamer = MjpegStreamer(0, quality=95)
+        client = socket.create_connection(("127.0.0.1", streamer.port),
+                                          timeout=5)
+        # shrink both buffers so the window fills fast; never recv()
+        client.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 4096)
+        rng = np.random.default_rng(1)
+        frame = rng.integers(0, 255, (240, 320, 3), dtype=np.uint8)
+        streamer.write_rgb(frame)          # accepts the client
+        assert len(streamer._clients) == 1
+        # cap the SERVER-side send buffer too — loopback defaults absorb
+        # megabytes, hiding the stall this test exists to create
+        streamer._clients[0].setsockopt(
+            socket.SOL_SOCKET, socket.SO_SNDBUF, 4096)
+        t0 = _t.monotonic()
+        for _ in range(40):
+            streamer.write_rgb(frame)
+            if not streamer._clients:
+                break
+        elapsed = _t.monotonic() - t0
+        # 40 writes x 0.25 s deadline is the absolute worst case (10 s);
+        # in practice the first full-buffer write drops the client.  The
+        # old blocking sendall would hang forever here.
+        assert elapsed < 12.0
+        assert len(streamer._clients) == 0
+        client.close()
+        streamer.close()
         streamer.close()

@@ -251,3 +251,29 @@ class TestCalcAnchors:
         anchors = [float(v) for v in
                    (tmp_path / "anchors.txt").read_text().split(",")]
         np.testing.assert_allclose(anchors, [20.0, 20.5], atol=0.6)
+
+
+class TestMissingWeightsHardError:
+    """Surgery/diagnostic verbs must never run on silent random init and
+    persist a plausible-looking artifact (same convention as the eval
+    CLI's explicit-weights check)."""
+
+    def test_rescale_missing_weights_raises(self, tmp_path):
+        import os
+        cfg_path = str(tmp_path / "net.cfg")
+        open(cfg_path, "w").write(CLASSIFIER_CFG)
+        out = str(tmp_path / "out.weights")
+        with pytest.raises(FileNotFoundError):
+            darknet_cli.main(["rescale", cfg_path,
+                              str(tmp_path / "nope.weights"), out])
+        assert not os.path.exists(out)
+
+    def test_error_returns_are_cli_errors(self):
+        rc = darknet_cli.main(["bogus-verb"])
+        assert isinstance(rc, darknet_cli.CliError) and rc == 1
+        rc2 = darknet_cli.main(["detector", "bogus"])
+        assert isinstance(rc2, darknet_cli.CliError) and rc2 == 1
+
+    def test_data_return_of_one_is_not_an_error(self):
+        # the __main__ shim maps only CliError to exit 1
+        assert not isinstance(1, darknet_cli.CliError)

@@ -354,3 +354,34 @@ class TestCollisionSemantics:
                                 jnp.asarray(truths))[0]
         )(jnp.asarray(raw)))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+class TestResumeLrFastForward:
+    """Resume must continue the LR schedule mid-curve (darknet's
+    get_current_rate reads net.seen), not restart burn-in/steps from 0."""
+
+    def test_fast_forward_sets_schedule_count(self):
+        cfg = yolo_train.YoloTrainConfig(lr=1e-3, burn_in=100,
+                                         steps=(200,), scales=(0.1,))
+        tx = yolo_train.make_optimizer(cfg)
+        params = {"0": {"w": jnp.ones((1, 1, 3, 4))}}
+        st = tx.init(params)
+        st2 = yolo_train.fast_forward_opt_state(st, 500)
+        import optax
+        assert int(optax.tree_utils.tree_get(st2, "count")) == 500
+
+        # the applied LR after fast-forward equals the schedule at 500
+        # (post-burn-in, post-step), NOT the burn-in ramp at 0
+        g = {"0": {"w": jnp.ones((1, 1, 3, 4))}}
+        upd, _ = tx.update(g, st2, params)
+        applied = -float(np.asarray(upd["0"]["w"]).ravel()[0])
+        sched = yolo_train.lr_schedule(cfg)
+        assert abs(applied - float(sched(500))) / float(sched(500)) < 0.05
+
+    def test_zero_start_is_noop(self):
+        cfg = yolo_train.YoloTrainConfig()
+        tx = yolo_train.make_optimizer(cfg)
+        params = {"0": {"w": jnp.ones((1, 1, 3, 4))}}
+        st = tx.init(params)
+        st2 = yolo_train.fast_forward_opt_state(st, 0)
+        assert st2 is st
