@@ -200,6 +200,86 @@ class TestFusedSmoke:
         assert len(results) == 3
 
 
+class TestOomBatchSplit:
+    """The RESOURCE_EXHAUSTED batch-halving fallback (PosePipeline.
+    _run_device — the TPU analog of the reference's CUDA-OOM retry,
+    train_KPD/src/evaluation.py:95-106) and the _is_oom guard that keeps
+    tunnel/compile errors which merely MENTION the token from triggering it."""
+
+    def _pipe(self):
+        spec = yolo_mod.build_spec(TINY_YOLO_CFG)
+        yolo_params = yolo_mod.fold_bn(
+            spec, yolo_mod.init_params(jax.random.PRNGKey(0), spec))
+        kpd_params = kpd_mod.init_params(jax.random.PRNGKey(1), n_classes=6,
+                                         arch="resnet50")
+        kp3d = np.random.default_rng(0).standard_normal((6, 3)) * 0.05
+        cfg = PipelineConfig(reso=96, inp_h=64, inp_w=48, out_h=16, out_w=12,
+                             n_kp=6, confidence=0.01, left_keypoints=6,
+                             compute_dtype="float32")
+        return PosePipeline(spec, yolo_params, kpd_params, kp3d, CAM_K, cfg)
+
+    @staticmethod
+    def _xla_error(msg):
+        from jaxlib.xla_client import XlaRuntimeError
+        return XlaRuntimeError(msg)
+
+    def test_oom_splits_and_matches_unsplit(self):
+        pipe = self._pipe()
+        frames = np.random.default_rng(2).integers(
+            0, 255, (4, 120, 160, 3), dtype=np.uint8)
+        want = {k: np.asarray(v) for k, v in pipe(frames).items()}
+
+        real_step, calls = pipe._step, []
+
+        def oom_over_2(yp, kp, fr, *args):
+            calls.append(fr.shape[0])
+            if fr.shape[0] > 2:
+                raise self._xla_error(
+                    "RESOURCE_EXHAUSTED: out of memory allocating "
+                    "123456 bytes")
+            return real_step(yp, kp, fr, *args)
+
+        pipe._step = oom_over_2
+        got = {k: np.asarray(v) for k, v in pipe(frames).items()}
+        assert calls == [4, 2, 2]  # one failed full batch, two halves
+        for k in want:
+            np.testing.assert_allclose(want[k], got[k], rtol=1e-5,
+                                        atol=1e-5, err_msg=k)
+
+    def test_oom_at_batch_1_propagates(self):
+        pipe = self._pipe()
+
+        def always_oom(*args):
+            raise self._xla_error("RESOURCE_EXHAUSTED: out of memory")
+
+        pipe._step = always_oom
+        with pytest.raises(Exception, match="RESOURCE_EXHAUSTED"):
+            pipe(np.zeros((1, 120, 160, 3), np.uint8))
+
+    def test_mention_in_forwarded_log_is_not_oom(self):
+        """An XlaRuntimeError whose message only MENTIONS the token (a
+        forwarded remote-compile log line) must propagate, not halve."""
+        pipe = self._pipe()
+        calls = []
+
+        def tunnel_error(yp, kp, fr, *args):
+            calls.append(fr.shape[0])
+            raise self._xla_error(
+                "INTERNAL: remote compile server log said "
+                "RESOURCE_EXHAUSTED somewhere upstream")
+
+        pipe._step = tunnel_error
+        with pytest.raises(Exception, match="INTERNAL"):
+            pipe(np.zeros((4, 120, 160, 3), np.uint8))
+        assert calls == [4]  # no retry at smaller batches
+
+    def test_status_chain_position_is_oom(self):
+        assert PosePipeline._is_oom(self._xla_error(
+            "INTERNAL: RESOURCE_EXHAUSTED: while allocating tuple"))
+        assert not PosePipeline._is_oom(ValueError(
+            "RESOURCE_EXHAUSTED: not an XLA error type"))
+
+
 class TestGeometricChain:
     def test_planted_pose_recovered(self):
         """Project keypoints under a known pose, paint heatmaps in crop
