@@ -91,6 +91,8 @@ def _mfu_estimate(jax, pipe, frames_dev, steady_fps, batch):
 
 
 def main():
+    from betapose_tpu.core.compile_cache import enable_compile_cache
+    enable_compile_cache()
     # batch 96 is the measured throughput peak on one v5e (PROFILE.md:
     # 964-1080 fps across 64-192, max at 96); override via BENCH_BATCH
     batch = int(os.environ.get("BENCH_BATCH", "96"))

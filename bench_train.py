@@ -102,6 +102,8 @@ def _bench_yolo(jax, jnp, iters, warmup, batch=64, reso=416,
 
 
 def main():
+    from betapose_tpu.core.compile_cache import enable_compile_cache
+    enable_compile_cache()
     iters = int(os.environ.get("BENCH_TRAIN_ITERS", "10"))
     warmup = int(os.environ.get("BENCH_TRAIN_WARMUP", "3"))
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

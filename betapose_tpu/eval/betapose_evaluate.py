@@ -267,6 +267,8 @@ def evaluate_metrics(final_result, sixd_base, obj_id, model_vertices,
 
 
 def main(argv=None):
+    from betapose_tpu.core.compile_cache import enable_compile_cache
+    enable_compile_cache()
     parser = make_parser("Betapose-TPU evaluation")
     args = parser.parse_args(argv)
     cfg = Config.from_args(args)

@@ -83,6 +83,8 @@ def evaluate_occlusion_metrics(final_result, sixd_base, obj_id,
 
 
 def main(argv=None):
+    from betapose_tpu.core.compile_cache import enable_compile_cache
+    enable_compile_cache()
     parser = make_parser("Betapose-TPU occlusion evaluation")
     args = parser.parse_args(argv)
     cfg = Config.from_args(args)

@@ -24,6 +24,8 @@ from betapose_tpu.eval.betapose_evaluate import load_sixd_models, build_pipeline
 
 
 def main(argv=None):
+    from betapose_tpu.core.compile_cache import enable_compile_cache
+    enable_compile_cache()
     parser = make_parser("Betapose-TPU video demo")
     args = parser.parse_args(argv)
     cfg = Config.from_args(args)

@@ -803,6 +803,8 @@ def cmd_ops(cfg):
 
 
 def main(argv=None):
+    from betapose_tpu.core.compile_cache import enable_compile_cache
+    enable_compile_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv and argv[0] == "partial":
         return cmd_partial(argv[1], argv[2], argv[3], int(argv[4]))

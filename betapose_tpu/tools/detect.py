@@ -19,6 +19,8 @@ import numpy as np
 
 
 def main(argv=None):
+    from betapose_tpu.core.compile_cache import enable_compile_cache
+    enable_compile_cache()
     p = argparse.ArgumentParser(description="Betapose-TPU detection demo")
     p.add_argument("--images", default="imgs", help="image file/directory")
     p.add_argument("--det", default="det", help="output directory")

@@ -47,6 +47,8 @@ import numpy as np
 
 
 def main():
+    from betapose_tpu.core.compile_cache import enable_compile_cache
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=40,
                     help="ops chained per jit call")

@@ -79,6 +79,8 @@ def add_train_args(parser):
 
 
 def main(argv=None):
+    from betapose_tpu.core.compile_cache import enable_compile_cache
+    enable_compile_cache()
     parser = add_train_args(make_parser("Betapose-TPU KPD training"))
     args = parser.parse_args(argv)
 

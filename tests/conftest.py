@@ -8,6 +8,9 @@ import os
 # hermetic and deterministic, so force CPU BOTH via env (for subprocesses)
 # and via jax.config (the axon plugin can win over the env var).
 os.environ["JAX_PLATFORMS"] = "cpu"
+# CLI mains enable the persistent compilation cache; tests must not write
+# to ~/.cache (and must not depend on prior runs' executables).
+os.environ["BETAPOSE_COMPILE_CACHE"] = "off"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
