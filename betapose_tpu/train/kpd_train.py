@@ -31,9 +31,12 @@ from betapose_tpu.models import kpd as kpd_mod
 
 BN_MOMENTUM = 0.1  # torch BatchNorm2d default
 
-# MXU mode for train-step convs/matmuls (see make_loss_fn).  'float32'
-# restores the exact 6-pass math the repo trained with originally.
-DEFAULT_TRAIN_PRECISION = "float32"
+# MXU mode for train-step convs/matmuls (see make_loss_fn).  bfloat16 is
+# the measured default: KPD step 168 -> 86 ms/batch-28, YOLO 598 -> 263
+# ms/batch-64 on v5e, with the slow-tier accuracy gate unchanged
+# (ADD<0.1d acc 0.94 for both bf16 and f32).  'float32' restores the
+# exact 6-pass math; activations/BN/loss/optimizer are f32 in EVERY mode.
+DEFAULT_TRAIN_PRECISION = "bfloat16"
 
 
 @dataclasses.dataclass
