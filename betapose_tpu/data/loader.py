@@ -193,7 +193,10 @@ def make_loader(paths, batch_size: int, mode: str = "auto",
       - "threads" / "procs": the Python cv2 pools (PrefetchLoader).
       - "auto": native when it builds AND every input is a .png/.jpg
         (the native codecs' scope); cv2 threads otherwise — so exotic
-        formats (BMP, TIFF, ...) silently keep the cv2 path.
+        formats (BMP, TIFF, ...) silently keep the cv2 path.  A
+        codec-class decode failure MID-RUN (a subformat libpng/libjpeg
+        rejects but cv2 accepts, e.g. CMYK JPEG) falls back to the cv2
+        pool for the remaining frames instead of aborting.
     """
     paths = list(paths)
     if mode not in ("auto", "native", "threads", "procs"):
@@ -234,6 +237,30 @@ class FrameCache:
                 f"cache {cache_path} holds {len(self.frames)} frames but "
                 f"{len(self.paths)} paths were given — delete the stale "
                 "cache or pass the original path list")
+        # a frame-count match is NOT identity: a cache built from a
+        # different/reordered path list of the same length would silently
+        # serve the wrong frames.  The manifest written at build time pins
+        # the exact (path, size) list.
+        manifest = self._manifest_path()
+        if not os.path.exists(manifest):
+            raise ValueError(
+                f"cache {cache_path} has no manifest ({manifest}) — built "
+                "by an older version or trimmed by hand; delete the cache "
+                "to rebuild it")
+        import json
+        with open(manifest) as f:
+            recorded = json.load(f)
+        if recorded != self._manifest_entries():
+            raise ValueError(
+                f"cache {cache_path} was built from a different path list "
+                "(manifest mismatch) — delete the stale cache or pass the "
+                "original path list")
+
+    def _manifest_path(self):
+        return self.cache_path + ".manifest.json"
+
+    def _manifest_entries(self):
+        return [[p, os.path.getsize(p)] for p in self.paths]
 
     def _build(self, workers):
         first = imread_rgb(self.paths[0])
@@ -246,6 +273,9 @@ class FrameCache:
                 arr[i] = imread_rgb(self.paths[i])
             list(pool.map(put, range(1, len(self.paths))))
         arr.flush()
+        import json
+        with open(self._manifest_path(), "w") as f:
+            json.dump(self._manifest_entries(), f)
 
     def batches(self, batch_size: int):
         """Yield [B,H,W,3] uint8 batches (tail batch padded like

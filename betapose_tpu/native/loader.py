@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import ctypes
 import os
+import re
 import subprocess
 import sys
 
@@ -126,6 +127,13 @@ def imread_rgb(path: str) -> np.ndarray:
     return out
 
 
+def _parse_rc(msg: str) -> int:
+    """Extract the BP_ERR code from a worker error message
+    ('decode failed (rc=-3): path'); 0 when absent."""
+    m = re.search(r"rc=(-?\d+)", msg)
+    return int(m.group(1)) if m else 0
+
+
 class NativeLoader:
     """Drop-in for `data.loader.PrefetchLoader`: iterate [B,H,W,3] uint8
     batches in path order, tail batch padded by repeating the last frame,
@@ -163,6 +171,8 @@ class NativeLoader:
                                       self.width, self.workers, window)
         if not handle:
             raise RuntimeError("bp_loader_create failed")
+        fail_msg = None
+        fail_batch = 0
         try:
             for bi in range(self.num_batches):
                 out = np.empty(
@@ -173,7 +183,14 @@ class NativeLoader:
                 if got < 0:
                     buf = ctypes.create_string_buffer(512)
                     lib.bp_loader_error(handle, buf, 512)
-                    raise IOError(buf.value.decode() or "native decode failed")
+                    msg = buf.value.decode() or "native decode failed"
+                    rc = _parse_rc(msg)
+                    if rc in (-2, -3):   # codec-class failure: cv2 may
+                        fail_msg = msg   # still decode the subformat
+                        fail_batch = bi
+                        break
+                    raise IOError(msg)   # missing file / dims mismatch:
+                                         # cv2 can't fix those either
                 if got != self.batch_sizes[bi]:
                     raise RuntimeError(
                         f"loader returned {got} frames, expected "
@@ -181,3 +198,18 @@ class NativeLoader:
                 yield out
         finally:
             lib.bp_loader_destroy(handle)
+        if fail_msg is not None:
+            # A subformat the native codecs reject (CMYK JPEG, 16-bit or
+            # palette-exotic PNG, ...) can still be cv2-decodable: an
+            # input set that worked before the native loader existed must
+            # keep working, so hand the REMAINING frames to the cv2 pool
+            # instead of aborting the run.  Genuinely unreadable files
+            # still raise — from cv2's decode this time.
+            sys.stderr.write(
+                f"WARNING: native loader failed ({fail_msg}); falling "
+                "back to the cv2 loader for the remaining frames\n")
+            from betapose_tpu.data.loader import PrefetchLoader
+            tail = PrefetchLoader(
+                self.paths[fail_batch * self.batch_size:],
+                self.batch_size, self.workers, self.lookahead)
+            yield from tail

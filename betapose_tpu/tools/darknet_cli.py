@@ -55,10 +55,12 @@ class CliError(int):
 
 
 def _load_model(cfg_path, weights_path=None, require=False):
-    """require=True: a weights path that doesn't resolve is a hard error —
-    verbs that WRITE weight files (surgery) or report weight statistics
-    must never silently substitute random init (same convention as the
-    eval CLI's explicit-weights check)."""
+    """An EXPLICIT weights path that doesn't resolve is ALWAYS a hard
+    error — a typo'd path must never silently evaluate random init and
+    emit a plausible-looking readout (same convention as the eval CLI's
+    explicit-weights check).  require=True additionally makes weights
+    mandatory (surgery/statistics verbs); omitting the path on other
+    verbs still runs random-init smoke mode, like darknet."""
     import jax
     from betapose_tpu.models import yolov3 as yolo_mod
     with open(cfg_path) as f:
@@ -68,12 +70,10 @@ def _load_model(cfg_path, weights_path=None, require=False):
         params, _ = yolo_mod.load_darknet_weights(spec, weights_path)
         print(f"Loaded weights from {weights_path}")
     else:
-        if require:
+        if require or weights_path:
             raise FileNotFoundError(
                 f"weights {weights_path} not found (required by this verb)")
         params = yolo_mod.init_params(jax.random.PRNGKey(0), spec)
-        if weights_path:
-            print(f"WARNING: weights {weights_path} not found, random init")
     net = spec.net_info
     reso = int(net.get("width", 416))
     return spec, params, reso

@@ -28,9 +28,10 @@ darknet semantics pinned here (reference file:line):
 - printed loss = cost_sum / batch (`network.c train_network` returns
   sum/(n*batch)); darknet's update uses lr/batch scaling of accumulated
   deltas, which the 1/batch loss normalization folds into the gradient.
-- LR policy (`network.c:78-140 get_current_rate`): constant / steps (with
-  burn-in ^4 ramp) / poly ((1 - i/max)^power) / sig supported — classifier
-  cfgs ship policy=poly power=4.
+- LR policy (`network.c:78-140 get_current_rate`): the full table —
+  constant / steps (with burn-in ^4 ramp) / step / exp / poly
+  ((1 - i/max)^power) / sigmoid / random — classifier cfgs ship
+  policy=poly power=4.
 """
 
 from __future__ import annotations
@@ -57,6 +58,9 @@ class ClassifierTrainConfig:
     power: float = 4.0
     steps: tuple = ()
     scales: tuple = ()
+    gamma: float = 1.0          # exp/sigmoid policies (parser.c:683-687)
+    step: int = 1               # step/sigmoid policies (singular key)
+    scale: float = 1.0          # step policy
     burn_in: int = 0
     # augmentation ([net] block, parser.c:629-646 defaults)
     min_crop: int = 0           # default net.w  (parser.c:636)
@@ -84,6 +88,9 @@ def net_cfg_to_config(spec) -> ClassifierTrainConfig:
         policy=str(net.get("policy", "constant")),
         power=get("power", 4.0),
         steps=steps, scales=scales,
+        gamma=get("gamma", 1.0),
+        step=get("step", 1),
+        scale=get("scale", 1.0),
         burn_in=get("burn_in", 0),
         min_crop=int(net.get("min_crop", w)),
         max_crop=int(net.get("max_crop", 2 * w)),
@@ -97,7 +104,9 @@ def net_cfg_to_config(spec) -> ClassifierTrainConfig:
 
 
 def lr_schedule(cfg: ClassifierTrainConfig):
-    """network.c get_current_rate for the policies classifier cfgs use."""
+    """network.c get_current_rate — the full policy table (`network.c:
+    88-120`), cfg strings per get_policy (`parser.c:599-610`: 'sigmoid',
+    not 'sig').  Unknown policies fall back to constant like darknet."""
     def lr(step):
         step = jnp.asarray(step, jnp.float32)
         base = jnp.asarray(cfg.lr, jnp.float32)
@@ -108,10 +117,22 @@ def lr_schedule(cfg: ClassifierTrainConfig):
             rate = base
             for s, sc in zip(cfg.steps, cfg.scales):
                 rate = jnp.where(step > s, rate * sc, rate)
-        elif cfg.policy == "sig":
-            rate = base / (1.0 + jnp.exp(
-                cfg.power * (step - (cfg.steps[0] if cfg.steps else 0))))
-        else:  # constant
+        elif cfg.policy == "step":
+            # C int division: lr * scale^(batch_num / step)
+            rate = base * jnp.power(
+                cfg.scale, jnp.floor(step / max(cfg.step, 1)))
+        elif cfg.policy == "exp":
+            rate = base * jnp.power(cfg.gamma, step)
+        elif cfg.policy == "sigmoid":
+            rate = base / (1.0 + jnp.exp(cfg.gamma * (step - cfg.step)))
+        elif cfg.policy == "random":
+            # darknet: lr * rand_uniform(0,1)^power; counter-based PRNG
+            # keyed on the iteration is the deterministic JAX equivalent
+            u = jax.random.uniform(
+                jax.random.fold_in(jax.random.PRNGKey(0),
+                                   step.astype(jnp.int32)))
+            rate = base * jnp.power(u, cfg.power)
+        else:  # constant (and darknet's unknown-policy fallback)
             rate = base
         if cfg.burn_in:
             ramp = base * jnp.power(step / cfg.burn_in, cfg.power)

@@ -81,7 +81,9 @@ def head_loss(raw, anchors, all_anchors, num_classes, net_w, net_h,
     ph = jnp.exp(jnp.clip(th_z, -12.0, 12.0)) * ah / net_h
     pred = jnp.stack([px, py, pw, ph], axis=-1)  # [B,nA,gh,gw,4]
 
-    gt_valid = truths[..., 0] != 0                     # [B,T]
+    # class_id >= classes labels are skipped in BOTH truth loops
+    # (yolo_layer.c:204-207 ignore-mask pass, :238 assignment pass)
+    gt_valid = (truths[..., 0] != 0) & (truths[..., 4] < nc)   # [B,T]
     gt_boxes = truths[..., :4]                         # [B,T,4]
     gt_cls = truths[..., 4].astype(jnp.int32)
 
@@ -164,7 +166,11 @@ def head_loss(raw, anchors, all_anchors, num_classes, net_w, net_h,
     # so a union entry is counted exactly once)
     cls_loss = jnp.sum(m[..., None] * _bce_from_logits(z_c, cls_onehot))
     m_flip = (assign & ~is_last & ~cls_dup).astype(jnp.float32)
-    z_own = jnp.take_along_axis(z_c, gt_cls[..., None], axis=-1)[..., 0]
+    # mode="clip": padded/skipped slots may carry class >= nc (masked out
+    # by m_flip, but the default fill-mode gather would return NaN and
+    # 0 * NaN poisons the sum)
+    z_own = jnp.take_along_axis(z_c, gt_cls[..., None], axis=-1,
+                                mode="clip")[..., 0]
     cls_loss = cls_loss + jnp.sum(m_flip * (-z_own))
 
     # background objectness everywhere, minus the gradient already applied

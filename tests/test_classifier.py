@@ -122,6 +122,57 @@ class TestScaleCrop:
         assert np.isfinite(out).all() and out.min() >= 0
 
 
+class TestLrPolicies:
+    """network.c get_current_rate formula oracle (network.c:88-120)."""
+
+    def _cfg(self, **kw):
+        from betapose_tpu.train.classifier_train import ClassifierTrainConfig
+        return ClassifierTrainConfig(lr=0.1, burn_in=0, **kw)
+
+    def test_step_policy_int_division(self):
+        from betapose_tpu.train.classifier_train import lr_schedule
+        lr = lr_schedule(self._cfg(policy="step", step=100, scale=0.5))
+        for it in [0, 99, 100, 250, 999]:
+            expect = 0.1 * 0.5 ** (it // 100)
+            np.testing.assert_allclose(float(lr(it)), expect, rtol=1e-6)
+
+    def test_exp_policy(self):
+        from betapose_tpu.train.classifier_train import lr_schedule
+        lr = lr_schedule(self._cfg(policy="exp", gamma=0.99))
+        for it in [0, 1, 50]:
+            np.testing.assert_allclose(float(lr(it)), 0.1 * 0.99 ** it,
+                                       rtol=1e-5)
+
+    def test_sigmoid_policy_uses_gamma_and_step(self):
+        from betapose_tpu.train.classifier_train import lr_schedule
+        lr = lr_schedule(self._cfg(policy="sigmoid", gamma=0.0002,
+                                   step=1000))
+        for it in [0, 1000, 5000]:
+            expect = 0.1 / (1.0 + np.exp(0.0002 * (it - 1000)))
+            np.testing.assert_allclose(float(lr(it)), expect, rtol=1e-5)
+        # the old bug: rate must NOT collapse near zero at iteration 1
+        assert float(lr(1)) > 0.049
+
+    def test_random_policy_bounded_and_deterministic(self):
+        from betapose_tpu.train.classifier_train import lr_schedule
+        lr = lr_schedule(self._cfg(policy="random", power=4.0))
+        vals = [float(lr(i)) for i in range(5)]
+        assert all(0.0 <= v <= 0.1 for v in vals)
+        assert len(set(vals)) > 1                 # varies per iteration
+        np.testing.assert_allclose(vals, [float(lr(i)) for i in range(5)])
+
+    def test_cfg_parses_gamma_step_scale(self):
+        from betapose_tpu.models import yolov3 as yolo_mod
+        from betapose_tpu.train.classifier_train import net_cfg_to_config
+        cfg_text = TINY_CFG.replace(
+            "policy=poly\npower=4",
+            "policy=sigmoid\ngamma=0.0002\nstep=1000\nscale=0.5")
+        spec = yolo_mod.build_spec(cfg_text)
+        cfg = net_cfg_to_config(spec)
+        assert (cfg.policy, cfg.gamma, cfg.step, cfg.scale) == (
+            "sigmoid", 0.0002, 1000, 0.5)
+
+
 TINY_CFG = """[net]
 batch=16
 width=16

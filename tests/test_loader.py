@@ -83,3 +83,19 @@ class TestFrameCache:
         FrameCache(png_dir, cache_path)
         with pytest.raises(ValueError, match="stale"):
             FrameCache(png_dir[:5], cache_path)
+
+    def test_same_length_different_paths_rejected(self, png_dir, tmp_path):
+        """A stale cache of the SAME length must not silently serve the
+        wrong frames: the manifest pins the exact path list."""
+        cache_path = str(tmp_path / "frames.npy")
+        FrameCache(png_dir, cache_path)
+        reordered = list(reversed(png_dir))
+        with pytest.raises(ValueError, match="manifest"):
+            FrameCache(reordered, cache_path)
+
+    def test_missing_manifest_rejected(self, png_dir, tmp_path):
+        cache_path = str(tmp_path / "frames.npy")
+        cache = FrameCache(png_dir, cache_path)
+        os.remove(cache._manifest_path())
+        with pytest.raises(ValueError, match="manifest"):
+            FrameCache(png_dir, cache_path)

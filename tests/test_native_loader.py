@@ -117,6 +117,24 @@ class TestNativeLoader:
         with pytest.raises(IOError):
             list(native.NativeLoader(img_dir[:3] + [bad], batch_size=2))
 
+    def test_codec_failure_falls_back_to_cv2(self, img_dir, tmp_path):
+        """A .png file whose CONTENT the native codecs reject (here: BMP
+        bytes) but cv2 decodes must not abort the run — the remaining
+        frames are served by the cv2 pool, byte-identical."""
+        import cv2
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+        bmp = str(tmp_path / "real.bmp")
+        cv2.imwrite(bmp, img)
+        fake = str(tmp_path / "fake.png")
+        os.rename(bmp, fake)
+        paths = img_dir[:3] + [fake] + img_dir[3:5]
+        ref = list(PrefetchLoader(paths, batch_size=2))
+        got = list(native.NativeLoader(paths, batch_size=2))
+        assert len(got) == len(ref)
+        for r, g in zip(ref, got):
+            np.testing.assert_array_equal(r, g)
+
     def test_mixed_dims_raise(self, img_dir, tmp_path):
         import cv2
         p = str(tmp_path / "odd.png")

@@ -268,6 +268,22 @@ class TestMissingWeightsHardError:
                               str(tmp_path / "nope.weights"), out])
         assert not os.path.exists(out)
 
+    def test_explicit_typod_path_raises_on_eval_verbs(self, tmp_path):
+        """A typo'd --weights on classifier valid / detector test must
+        error, not evaluate random init with a plausible readout."""
+        cfg_path = str(tmp_path / "net.cfg")
+        open(cfg_path, "w").write(CLASSIFIER_CFG)
+        data_path = str(tmp_path / "d.data")
+        lbl = tmp_path / "labels.txt"
+        lbl.write_text("a\nb\n")
+        vf = tmp_path / "valid.txt"
+        vf.write_text("")
+        open(data_path, "w").write(
+            f"classes=2\nvalid={vf}\nlabels={lbl}\n")
+        with pytest.raises(FileNotFoundError):
+            darknet_cli.main(["classifier", "valid", data_path, cfg_path,
+                              str(tmp_path / "nope.weights")])
+
     def test_error_returns_are_cli_errors(self):
         rc = darknet_cli.main(["bogus-verb"])
         assert isinstance(rc, darknet_cli.CliError) and rc == 1

@@ -73,6 +73,39 @@ class TestHeadLoss:
                          jnp.asarray(truths))
         assert float(m["count"]) == 0.0
 
+    def test_out_of_range_class_id_skipped(self):
+        """Labels with class_id >= classes are skipped in BOTH truth loops
+        (yolo_layer.c:204-207, :238): loss and gradient must equal the run
+        with that truth slot absent entirely."""
+        rng = np.random.default_rng(7)
+        gs, na, nc, net = 8, 3, 2, 64
+        anchors = [(10, 13), (16, 30), (33, 23)]
+        raw = jnp.asarray(rng.standard_normal((1, gs, gs, na * (5 + nc)))
+                          .astype(np.float32) * 0.01)
+        good = [0.55, 0.30, 16 / 64, 30 / 64, 1]
+        bad = [0.25, 0.70, 10 / 64, 13 / 64, nc]   # class_id == classes
+        truths_with_bad = np.zeros((1, 4, 5), np.float32)
+        truths_with_bad[0, 0] = good
+        truths_with_bad[0, 1] = bad
+        truths_clean = np.zeros((1, 4, 5), np.float32)
+        truths_clean[0, 0] = good
+
+        def f(r, t):
+            return head_loss(r, anchors, anchors, nc, net, net, t)[0]
+
+        for t_bad, t_clean in [(truths_with_bad, truths_clean)]:
+            l_bad, m_bad = head_loss(raw, anchors, anchors, nc, net, net,
+                                     jnp.asarray(t_bad))
+            l_clean, m_clean = head_loss(raw, anchors, anchors, nc, net,
+                                         net, jnp.asarray(t_clean))
+            assert float(m_bad["count"]) == float(m_clean["count"]) == 1.0
+            np.testing.assert_allclose(float(l_bad), float(l_clean),
+                                       rtol=1e-6)
+            g_bad = jax.grad(f)(raw, jnp.asarray(t_bad))
+            g_clean = jax.grad(f)(raw, jnp.asarray(t_clean))
+            np.testing.assert_allclose(np.asarray(g_bad),
+                                       np.asarray(g_clean), atol=1e-7)
+
     def test_ignore_thresh_zeroes_background(self):
         """A confident pred overlapping GT > 0.7 must not get noobj loss."""
         gs, na, nc, net = 4, 1, 1, 64
