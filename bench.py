@@ -11,8 +11,10 @@ Measurements (all printed in ONE JSON line):
 - candidates_fps: same, det_capacity=4 occlusion-shaped workload (device
   top-N NMS -> per-candidate decode -> on-device pose-NMS -> batched PnP).
 - e2e_fps: PNG files on disk, host decode, H2D, device compute, D2H.
-- host feed sweep: threaded decode / process-pool decode / pre-decoded
-  memmap cache; host_feed_fps + host_feed_mode carry the best.
+- host feed sweep: threaded decode / process-pool decode / native ring
+  decode; host_feed_fps + host_feed_mode carry the best real decode path
+  (the pre-decoded memmap cache is excluded — warm-cache iteration is
+  memcpy, not a frame rate; it shows up as cached_e2e_fps instead).
 - mfu: model FLOPs utilization estimate from XLA cost analysis at the
   measured steady-state rate (null if the backend won't report flops).
 
@@ -192,18 +194,17 @@ def main():
             decode_native_fps = len(paths) / (time.perf_counter() - t0)
 
         # ... and the pre-decoded memmap cache (decode once, then serve at
-        # memory bandwidth — the feed mode that outruns any chip)
+        # memory bandwidth).  A bare iteration over the warm cache measures
+        # memcpy, not a frame rate — it is NOT reported as an fps (the
+        # meaningful cache number is cached_e2e_fps below, which includes
+        # the compute the feed exists to serve).
         cache = FrameCache(paths, os.path.join(pool_dir, "frames_cache.npy"))
         for b in cache.batches(batch):
             pass  # touch once so the page cache is warm, like a real epoch
-        t0 = time.perf_counter()
-        for b in cache.batches(batch):
-            pass
-        cached_feed_fps = len(paths) / (time.perf_counter() - t0)
 
+        # host_feed = best ACTUAL decode path (cache excluded by design)
         feed_modes = {"decode_threads": decode_threads_fps,
-                      "decode_procs": decode_procs_fps,
-                      "cache": cached_feed_fps}
+                      "decode_procs": decode_procs_fps}
         if decode_native_fps is not None:
             feed_modes["decode_native"] = decode_native_fps
         host_feed_mode = max(feed_modes, key=feed_modes.get)
@@ -253,7 +254,7 @@ def main():
         "host_decode_procs_fps": round(decode_procs_fps, 2),
         "host_decode_native_fps": (round(decode_native_fps, 2)
                                    if decode_native_fps else None),
-        "cached_feed_fps": round(cached_feed_fps, 2),
+        "host_loader_workers": pworkers,
         "host_cpus": os.cpu_count(),
         "h2d_mbps": round(h2d_mbps, 1),
         "tunnel_capped_feed": tunnel_capped,
@@ -263,7 +264,12 @@ def main():
         "mfu": round(mfu, 4) if mfu else None,
         "note": ("latency_ms_b1 is one frame through the full fused step "
                  "with per-call sync (tunnel RTT inflates it when "
-                 "tunnel_capped_feed). e2e_fps includes disk PNG decode + H2D + D2H; "
+                 "tunnel_capped_feed). host_feed_fps is the best REAL "
+                 "decode path at host_loader_workers workers; the "
+                 "pre-decoded memmap cache is deliberately excluded (a "
+                 "warm-cache iteration measures memcpy, not frames) — its "
+                 "useful number is cached_e2e_fps. "
+                 "e2e_fps includes disk PNG decode + H2D + D2H; "
                  "steady_state_fps is device compute with a resident batch; "
                  "candidates_fps is the det_capacity=4 occlusion-shaped "
                  "workload with on-device pose-NMS. value = steady_state "

@@ -164,6 +164,130 @@ class TestBNFolding:
                                    rtol=1e-4, atol=1e-5)
 
 
+class TestNormalize:
+    def test_adds_identity_bn_to_non_bn_layers(self, net, tmp_path):
+        """normalize_net (darknet.c:240): non-BN conv/connected gain
+        scale=1, rolling_mean=0, rolling_var=0 (darknet callocs the
+        variance to ZERO — quirk), bias becomes BN beta, weights
+        untouched.  Already-BN layers are left alone."""
+        spec, params, cfg_path, w_path, tmp = net
+        out = str(tmp / "norm.weights")
+        darknet_cli.main(["normalize", cfg_path, w_path, out])
+        # reload needs a cfg with batch_normalize=1 everywhere (mirror of
+        # denormalize's caveat)
+        all_bn = re.sub(r"\[(convolutional|connected)\]\n",
+                        "[\\1]\nbatch_normalize=1\n", CLASSIFIER_CFG)
+        spec_bn = yolov3.build_spec(all_bn)
+        got, _ = yolov3.load_darknet_weights(spec_bn, out,
+                                             allow_partial=False)
+        for li, l in enumerate(spec.layers):
+            if l.kind not in ("conv", "connected"):
+                continue
+            if l.batch_normalize:   # untouched layers roundtrip exactly
+                for k in params[li]:
+                    np.testing.assert_array_equal(
+                        np.asarray(got[li][k]), np.asarray(params[li][k]))
+            else:
+                np.testing.assert_array_equal(np.asarray(got[li]["w"]),
+                                              np.asarray(params[li]["w"]))
+                np.testing.assert_array_equal(
+                    np.asarray(got[li]["bn_bias"]),
+                    np.asarray(params[li]["b"]))
+                np.testing.assert_array_equal(
+                    np.asarray(got[li]["bn_scale"]), 1.0)
+                np.testing.assert_array_equal(
+                    np.asarray(got[li]["bn_mean"]), 0.0)
+                np.testing.assert_array_equal(
+                    np.asarray(got[li]["bn_var"]), 0.0)
+
+    def test_normalize_then_denormalize_is_stable(self, net, tmp_path):
+        """The two verbs are surgical inverses up to the BN layout (the
+        var=0 identity arrays fold to scale/sqrt(eps) — darknet's exact
+        arithmetic; we only check the denormalize verb ACCEPTS the
+        normalized file, the caveat chain darknet documents)."""
+        spec, params, cfg_path, w_path, tmp = net
+        normed = str(tmp / "n.weights")
+        darknet_cli.main(["normalize", cfg_path, w_path, normed])
+        all_bn = re.sub(r"\[(convolutional|connected)\]\n",
+                        "[\\1]\nbatch_normalize=1\n", CLASSIFIER_CFG)
+        cfg_bn = str(tmp / "bn.cfg")
+        open(cfg_bn, "w").write(all_bn)
+        out = str(tmp / "dn.weights")
+        darknet_cli.main(["denormalize", cfg_bn, normed, out])
+        stripped = re.sub(r"batch_normalize=1\n", "", CLASSIFIER_CFG)
+        spec_nb = yolov3.build_spec(stripped)
+        got, _ = yolov3.load_darknet_weights(spec_nb, out,
+                                             allow_partial=False)
+        assert all("bn_scale" not in p for p in got)
+
+
+ONEOFF_CFG = """
+[net]
+width=16
+height=16
+channels=3
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[convolutional]
+filters=6
+size=1
+stride=1
+pad=0
+activation=linear
+
+[avgpool]
+"""
+
+
+class TestOneoff:
+    def test_tiles_head_thirds_and_zeros_seen(self, tmp_path, capsys):
+        """oneoff (darknet.c:126-148) on a 1x1 second-to-last conv (the
+        intended shape — exact semantics): biases and weights of filters
+        [0, n/3) are copied over filters [n/3, 2n/3) and [2n/3, n), and
+        `seen` is zeroed in the saved header."""
+        cfg_path = str(tmp_path / "o.cfg")
+        open(cfg_path, "w").write(ONEOFF_CFG)
+        spec = yolov3.build_spec(ONEOFF_CFG)
+        params = _randomized_params(spec, 7)
+        w_path = str(tmp_path / "o.weights")
+        yolov3.save_darknet_weights(spec, params, w_path, seen=12345)
+        out = str(tmp_path / "oneoff.weights")
+        darknet_cli.main(["oneoff", cfg_path, w_path, out])
+        # darknet.c:141 prints oldn on its own line
+        assert re.search(r"^6$", capsys.readouterr().out, re.M)
+        got, header = yolov3.load_darknet_weights(spec, out,
+                                                  allow_partial=False)
+        assert int(header[3]) == 0              # *net.seen = 0
+        b = np.asarray(got[1]["b"])
+        b0 = np.asarray(params[1]["b"])
+        np.testing.assert_array_equal(b[0:2], b0[0:2])
+        np.testing.assert_array_equal(b[2:4], b0[0:2])
+        np.testing.assert_array_equal(b[4:6], b0[0:2])
+        # HWIO weights: 1x1 filters live on the O axis
+        w = np.asarray(got[1]["w"])[0, 0]       # (I=8, O=6)
+        w0 = np.asarray(params[1]["w"])[0, 0]
+        np.testing.assert_array_equal(w[:, 0:2], w0[:, 0:2])
+        np.testing.assert_array_equal(w[:, 2:4], w0[:, 0:2])
+        np.testing.assert_array_equal(w[:, 4:6], w0[:, 0:2])
+        # first (BN) conv untouched
+        for k in params[0]:
+            np.testing.assert_array_equal(np.asarray(got[0][k]),
+                                          np.asarray(params[0][k]))
+
+    def test_gui_verbs_stub_with_message(self, capsys):
+        for verb in ("visualize", "imtest", "mkimg"):
+            rc = darknet_cli.main([verb, "x.cfg"])
+            assert isinstance(rc, darknet_cli.CliError)
+            assert "GUI-only" in capsys.readouterr().out
+
+
 class TestDiagnostics:
     def test_ops_counts_conv_and_connected_macs(self, net):
         _, _, cfg_path, _, _ = net
