@@ -225,7 +225,8 @@ def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=1500,
                  add_dpg=False, kpd_finetune_iters=0, kpd_batch=8,
                  z_range=(0.55, 0.8), left_keypoints=None, params_dir=None,
                  pnp_robust_rounds=0, occlusion=False, det_capacity=1,
-                 pnp_score_power=0.0, train_precision=None, verbose=True):
+                 pnp_score_power=0.0, train_precision=None,
+                 net_type="resnet50", verbose=True):
     """params_dir: when set, trained weights are saved there
     (yolo.weights darknet-format + kpd.npz pytree) and reloaded on the
     next run instead of retraining — fast iteration on the eval side.
@@ -236,7 +237,12 @@ def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=1500,
     foreground distractor hides 15-50% of the target in EVERY eval frame
     (and half the train frames, as real occlusion-scene training data
     would); pair with det_capacity>1 so the multi-candidate pose-NMS path
-    sees real learned heatmaps under clutter."""
+    sees real learned heatmaps under clutter.
+
+    net_type: KPD backbone to train AND grade — FastPose 'resnet50' (the
+    default tier) or 'hgPRM' (PyraNet, intermediate supervision +
+    post-hoc BN calibration; heatmap dims inp/4 must divide by 16, so
+    pass e.g. inp 64x64 fast / 320x256 slow)."""
     import os
     rng = np.random.default_rng(seed)
     model = CubeModel()
@@ -279,6 +285,8 @@ def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=1500,
                               or kpd_train.DEFAULT_TRAIN_PRECISION)
         if resolved_precision != "float32":
             fp["train_precision"] = resolved_precision
+        if net_type != "resnet50":
+            fp["net_type"] = net_type
         fp_path = os.path.join(params_dir, "config.json")
         if os.path.exists(fp_path):
             on_disk = json.load(open(fp_path))
@@ -362,8 +370,22 @@ def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=1500,
                                           ypath)
 
     # ---- stage 3b: train KPD ----
-    kparams = kpd_mod.init_params(jax.random.PRNGKey(1), n_classes=n_kp,
-                                  arch="resnet50")
+    if net_type == "hgPRM":
+        # PyraNet: intermediate supervision (loss over all nStack heads)
+        # + post-hoc BN calibration before inference-mode use — the same
+        # recipe the trainer CLI runs (train_kpd_main.py:90-115)
+        from betapose_tpu.models import hgprm
+        kparams = hgprm.init_params(jax.random.PRNGKey(1), n_classes=n_kp)
+
+        def kpd_forward_fn(p, x, train=False, bn_stats=None):
+            return hgprm.forward(p, x, all_heads=train, train=train,
+                                 bn_stats=bn_stats)
+    elif net_type == "resnet50":
+        kparams = kpd_mod.init_params(jax.random.PRNGKey(1), n_classes=n_kp,
+                                      arch="resnet50")
+        kpd_forward_fn = None
+    else:
+        raise ValueError(f"unsupported selftest net_type {net_type!r}")
     if kpath and os.path.exists(kpath):
         from betapose_tpu.core import checkpoint as ckpt
         kparams = ckpt.load_pytree_npz(kpath, kparams)
@@ -374,7 +396,7 @@ def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=1500,
                                        params_example=kparams)
         kopt = ktx.init(kparams)
         kstep = kpd_train.make_train_step(
-            ktx, out_res_h=out_h, donate=False,
+            ktx, out_res_h=out_h, donate=False, forward_fn=kpd_forward_fn,
             matmul_precision=train_precision
             or kpd_train.DEFAULT_TRAIN_PRECISION)
         # gentle augmentation for the toy task: the cube's mirror image
@@ -413,6 +435,7 @@ def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=1500,
             kopt2 = ktx2.init(kparams)
             kstep2 = kpd_train.make_train_step(
                 ktx2, out_res_h=out_h, donate=False,
+                forward_fn=kpd_forward_fn,
                 matmul_precision=train_precision
                 or kpd_train.DEFAULT_TRAIN_PRECISION)
             t0 = time.time()
@@ -428,6 +451,11 @@ def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=1500,
                       f"(loss {float(km['loss']):.5f}, "
                       f"acc {float(km['acc']):.3f}, "
                       f"{time.time() - t0:.0f}s)")
+        if net_type == "hgPRM":
+            # batch-stat training leaves running stats at init identity;
+            # calibrate on the last augmented batch before inference use
+            from betapose_tpu.models import hgprm
+            kparams = hgprm.calibrate_bn(kparams, batch["inps"])
         if kpath:
             from betapose_tpu.core import checkpoint as ckpt
             ckpt.save_pytree_npz(kpath, jax.device_get(kparams))
@@ -439,7 +467,7 @@ def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=1500,
         compute_dtype="float32", pallas_decode=None,
         pnp_robust_rounds=pnp_robust_rounds,
         pnp_score_power=pnp_score_power,
-        det_capacity=det_capacity)
+        det_capacity=det_capacity, net_type=net_type)
     pipe = PosePipeline(spec, yolo_mod.fold_bn(spec, yparams), kparams,
                         kp3d, CAM_K, pcfg)
     eval_frames = frames[n_frames:]
@@ -520,6 +548,11 @@ def main(argv=None):
                    choices=["bfloat16", "tensorfloat32", "float32"],
                    help="MXU mode for both train steps (default: "
                         "kpd_train.DEFAULT_TRAIN_PRECISION)")
+    p.add_argument("--netType", type=str, default="resnet50",
+                   choices=["resnet50", "hgPRM"],
+                   help="KPD backbone to train+grade (hgPRM: heatmap dims "
+                        "inp/4 must divide by 16 — the slow-tier 320x256 "
+                        "qualifies, the fast-tier 128x96 does not)")
     p.add_argument("--pnp_score_power", type=float, default=None,
                    help="PnP keypoint-score weighting exponent (default: "
                         "4 on the occlusion tier — measured ADD<0.1d 0.88 "
@@ -549,7 +582,7 @@ def main(argv=None):
             else args.pnp_robust,
             pnp_score_power=(4.0 if args.occlusion else 0.0)
             if args.pnp_score_power is None else args.pnp_score_power,
-            train_precision=args.train_precision)
+            train_precision=args.train_precision, net_type=args.netType)
     else:
         stats = run_selftest(n_frames=args.frames,
                              yolo_iters=args.yolo_iters,
@@ -560,7 +593,8 @@ def main(argv=None):
                              det_capacity=args.det_capacity or 1,
                              pnp_robust_rounds=args.pnp_robust or 0,
                              pnp_score_power=args.pnp_score_power or 0.0,
-                             train_precision=args.train_precision)
+                             train_precision=args.train_precision,
+                             net_type=args.netType)
     return stats
 
 
