@@ -54,6 +54,29 @@ def test_selftest_occlusion_tier_smoke():
     assert np.isfinite(stats["diameter_m"])
 
 
+@pytest.mark.slow
+def test_selftest_hgprm_tier_smoke(tmp_path):
+    """--netType hgPRM wiring at toy scale: PyraNet trains through the
+    intermediate-supervision step, gets BN-calibrated, caches to
+    params_dir, and serves inside the fused pipeline (the graded tier is
+    `selftest --slow --netType hgPRM`; hgPRM's fractional pools need
+    heatmap dims divisible by 16, hence 128x64 crops here)."""
+    from betapose_tpu.tools.selftest import run_selftest
+
+    kw = dict(n_frames=6, n_eval=2, yolo_iters=2, kpd_iters=2,
+              reso=96, inp_h=128, inp_w=64, n_kp=8,
+              params_dir=str(tmp_path / "cache"), pnp_robust_rounds=1,
+              left_keypoints=6, verbose=False, net_type="hgPRM")
+    stats = run_selftest(**kw)
+    assert stats["n_eval"] == 2
+    assert np.isfinite(stats["diameter_m"])
+    assert (tmp_path / "cache" / "kpd.npz").exists()
+
+    # reload path: cached hgPRM weights restore into the hgPRM tree
+    stats2 = run_selftest(**kw)
+    assert stats2["n_detected"] == stats["n_detected"]
+
+
 def test_stale_cache_epoch_hard_refused(tmp_path):
     """A params_dir manifest stamped with an older CACHE_VERSION (or none
     — the pre-epoch format) must hard-error before any training or
