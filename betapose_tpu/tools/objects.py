@@ -82,6 +82,11 @@ class MeshObject:
         # (identity excluded); () = asymmetric
         self.symmetries = tuple(np.asarray(S, float) for S in symmetries)
         self.keypoints = designate_keypoints(self, n_kp)
+        # channel permutations induced by each symmetry element (orbit-
+        # closed designation guarantees they exist) — consumed by the
+        # symmetry-aware KPD training loss
+        self.symmetry_perms = (symmetry_keypoint_perms(
+            self.keypoints, self.symmetries) if self.symmetries else ())
         d = self.vertices
         self.diameter = float(np.sqrt(
             ((d[None] - d[:, None]) ** 2).sum(-1)).max())
@@ -118,7 +123,14 @@ def designate_keypoints(obj: MeshObject, n_kp: int) -> np.ndarray:
     union (a box-A face center can sit inside box B), then greedy
     farthest-point selection for spread (the min-distance spirit of
     `Model3D.refine`, `utils/model.py:29-48`, run forward instead of
-    backward)."""
+    backward).
+
+    For symmetric objects the selection is ORBIT-closed: candidates are
+    grouped into orbits under the symmetry group and whole orbits are
+    selected, so the designated set maps onto itself under every symmetry
+    element.  That closure is what makes the symmetry's action on
+    keypoints a channel PERMUTATION (`symmetry_keypoint_perms`) — the
+    property the symmetry-aware training loss needs."""
     cands = np.concatenate([_box_candidates(c, h) for c, h in obj.boxes])
     keep = np.array([not obj.contains_interior(p) for p in cands])
     cands = cands[keep]
@@ -127,6 +139,8 @@ def designate_keypoints(obj: MeshObject, n_kp: int) -> np.ndarray:
     cands = cands[np.sort(uniq)]
     if len(cands) <= n_kp:
         return cands
+    if obj.symmetries:
+        return _designate_orbit_closed(cands, obj.symmetries, n_kp)
     # farthest-point: seed with the point farthest from the centroid
     sel = [int(np.argmax(((cands - cands.mean(0)) ** 2).sum(1)))]
     d2 = ((cands - cands[sel[0]]) ** 2).sum(1)
@@ -135,6 +149,122 @@ def designate_keypoints(obj: MeshObject, n_kp: int) -> np.ndarray:
         sel.append(nxt)
         d2 = np.minimum(d2, ((cands - cands[nxt]) ** 2).sum(1))
     return cands[np.asarray(sel)]
+
+
+def _symmetry_group(symmetries, tol=1e-9):
+    """Close the generator set into the full (finite) symmetry group,
+    identity included."""
+    group = [np.eye(3)]
+    frontier = [np.asarray(S, float) for S in symmetries]
+    while frontier:
+        S = frontier.pop()
+        if any(np.allclose(S, G, atol=tol) for G in group):
+            continue
+        group.append(S)
+        for G in list(group):
+            frontier.append(S @ G)
+            frontier.append(G @ S)
+        if len(group) > 64:
+            raise ValueError("symmetry group closure exceeded 64 elements")
+    return group
+
+
+def _candidate_orbits(cands, symmetries, tol=1e-6):
+    """Partition candidate indices into orbits under the symmetry group.
+    Every group image of a candidate must land on a candidate (the pooled
+    corner/center/edge-mid set of a symmetric solid is closed by
+    construction)."""
+    group = _symmetry_group(symmetries)
+    assigned = np.full(len(cands), -1, int)
+    orbits = []
+    for i in range(len(cands)):
+        if assigned[i] >= 0:
+            continue
+        orb = set()
+        for G in group:
+            p = G @ cands[i]
+            d2 = ((cands - p) ** 2).sum(1)
+            j = int(np.argmin(d2))
+            if d2[j] > tol * tol:
+                raise ValueError(
+                    "candidate set is not closed under the symmetry group")
+            orb.add(j)
+        oid = len(orbits)
+        for j in orb:
+            assigned[j] = oid
+        orbits.append(sorted(orb))
+    return orbits
+
+
+def _designate_orbit_closed(cands, symmetries, n_kp):
+    """Greedy farthest-point over symmetry ORBITS: each step adds the
+    whole orbit whose best member is farthest from the selected set,
+    skipping orbits that would make the remaining budget unfillable
+    (subset-sum feasibility over the remaining orbit sizes)."""
+    orbits = _candidate_orbits(cands, symmetries)
+
+    def fillable(budget, sizes):
+        ok = np.zeros(budget + 1, bool)
+        ok[0] = True
+        for s in sizes:
+            if s <= budget:
+                ok[s:] |= ok[:-s].copy()
+        return bool(ok[budget])
+
+    if not fillable(n_kp, [len(o) for o in orbits]):
+        raise ValueError(
+            f"n_kp={n_kp} cannot be met with symmetry-closed orbits "
+            f"(orbit sizes: {sorted(len(o) for o in orbits)})")
+    remaining = list(range(len(orbits)))
+    sel = []
+    d2 = ((cands - cands.mean(0)) ** 2).sum(1)   # seed score: centroid dist
+    while len(sel) < n_kp and remaining:
+        budget = n_kp - len(sel)
+        best_oi, best_score = None, -1.0
+        for oi in remaining:
+            orb = orbits[oi]
+            if len(orb) > budget:
+                continue
+            rest = [len(orbits[oj]) for oj in remaining
+                    if oj != oi]
+            if not fillable(budget - len(orb), rest):
+                continue
+            score = float(d2[orb].max())
+            if score > best_score:
+                best_oi, best_score = oi, score
+        if best_oi is None:
+            break
+        remaining.remove(best_oi)
+        for j in orbits[best_oi]:
+            sel.append(j)
+            d2 = np.minimum(d2, ((cands - cands[j]) ** 2).sum(1))
+    assert len(sel) == n_kp
+    return cands[np.asarray(sel)]
+
+
+def symmetry_keypoint_perms(keypoints, symmetries, tol=1e-6):
+    """Per symmetry element S, the permutation pi with
+    S @ keypoints[i] == keypoints[pi[i]].
+
+    This is the bridge between pose symmetry and heatmap channels: the
+    keypoint label set for pose R.S equals the label set for pose R with
+    channels permuted by pi (visibility included — keypoint i under R.S
+    projects exactly where keypoint pi[i] does under R).  The KPD
+    symmetry-aware loss (`kpd_train.make_loss_fn(sym_perms=...)`) uses it
+    to score a prediction against every mode and train on the best one."""
+    keypoints = np.asarray(keypoints, float)
+    perms = []
+    for S in symmetries:
+        mapped = keypoints @ np.asarray(S, float).T
+        d2 = ((mapped[:, None] - keypoints[None]) ** 2).sum(-1)
+        perm = np.argmin(d2, axis=1)
+        worst = float(np.sqrt(d2[np.arange(len(perm)), perm]).max())
+        if worst > tol or len(set(perm.tolist())) != len(perm):
+            raise ValueError(
+                f"keypoint set is not closed under symmetry "
+                f"(worst match {worst:.2e})")
+        perms.append(perm.astype(np.int32))
+    return tuple(perms)
 
 
 def canonicalize_pose(pose: np.ndarray, symmetries) -> np.ndarray:

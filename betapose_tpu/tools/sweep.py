@@ -106,10 +106,15 @@ def train_detector(spec, frames_u8_dev, truths, iters, batch, reso,
 
 
 def train_kpd(frames_u8_dev, bboxes, parts, n_kp, iters, finetune_iters,
-              batch, inp_h, inp_w, precision, seed=1, verbose=True):
+              batch, inp_h, inp_w, precision, seed=1, verbose=True,
+              sym_perms=None):
     """Per-object KPD (FastPose-resnet50) — the slow selftest recipe:
     Adam 1e-3 then a 1e-4 subpixel-convergence phase, on-device DPG
-    augmentation, masked-MSE heatmap loss."""
+    augmentation, masked-MSE heatmap loss.  For symmetric objects,
+    sym_perms switches the loss to the symmetry-aware min-over-modes form
+    (`kpd_train.make_loss_fn`): a fixed canonicalization alone leaves a
+    label seam in SO(3) that plain MSE blurs across (measured PCK 0.40 on
+    the prism vs 0.94+ on its asymmetric twins)."""
     out_h, out_w = inp_h // 4, inp_w // 4
     params = kpd_mod.init_params(jax.random.PRNGKey(seed), n_classes=n_kp,
                                  arch="resnet50")
@@ -129,7 +134,8 @@ def train_kpd(frames_u8_dev, bboxes, parts, n_kp, iters, finetune_iters,
         opt = tx.init(params)
         step = kpd_train.make_train_step(
             tx, out_res_h=out_h, donate=False,
-            matmul_precision=precision or kpd_train.DEFAULT_TRAIN_PRECISION)
+            matmul_precision=precision or kpd_train.DEFAULT_TRAIN_PRECISION,
+            sym_perms=sym_perms)
         t0 = time.time()
         for it in range(n_iters):
             sel = jnp.asarray(rng.integers(0, n, batch))
@@ -210,7 +216,10 @@ def run_sweep(object_names=("cube", "prism", "lwedge"), n_frames=800,
               "seed": seed, "z_range": list(z_range),
               "yolo_iters": yolo_iters, "kpd_iters": kpd_iters,
               "kpd_finetune_iters": kpd_finetune_iters,
-              "kpd_batch": kpd_batch, "yolo_batch": yolo_batch}
+              "kpd_batch": kpd_batch, "yolo_batch": yolo_batch,
+              # symmetric objects train with the min-over-modes loss;
+              # caches trained under plain canonicalized MSE must refuse
+              "sym_loss": True}
         resolved = train_precision or kpd_train.DEFAULT_TRAIN_PRECISION
         if resolved != "float32":
             fp["train_precision"] = resolved
@@ -298,7 +307,8 @@ def run_sweep(object_names=("cube", "prism", "lwedge"), n_frames=800,
                                 s["parts"], n_kp, kpd_iters,
                                 kpd_finetune_iters, kpd_batch, inp_h, inp_w,
                                 train_precision, seed=seed + s["class_id"],
-                                verbose=verbose)
+                                verbose=verbose,
+                                sym_perms=obj.symmetry_perms or None)
             if kpath:
                 from betapose_tpu.core import checkpoint as ckpt
                 ckpt.save_pytree_npz(kpath, jax.device_get(kparams))

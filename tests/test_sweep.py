@@ -68,6 +68,124 @@ class TestObjectZoo:
         assert objects_mod.lwedge_object().symmetries == ()
 
 
+class TestSymmetryPerms:
+    def test_prism_perm_full_candidate_set(self):
+        """n_kp=26 keeps every candidate; the 180°-about-z flip must act
+        on them as an exact involutive permutation."""
+        p = objects_mod.prism_object(26)
+        (perm,) = p.symmetry_perms
+        (S,) = p.symmetries
+        assert sorted(perm.tolist()) == list(range(26))
+        np.testing.assert_array_equal(perm[perm], np.arange(26))
+        np.testing.assert_allclose(p.keypoints @ S.T, p.keypoints[perm],
+                                   atol=1e-9)
+
+    def test_prism_orbit_closed_designation_small(self):
+        """With n_kp < the candidate pool, designation must still be
+        symmetry-closed (whole orbits) so the permutation exists."""
+        for n_kp in (8, 12, 20):
+            p = objects_mod.prism_object(n_kp)
+            assert p.keypoints.shape == (n_kp, 3)
+            (perm,) = p.symmetry_perms          # raises if not closed
+            np.testing.assert_array_equal(perm[perm], np.arange(n_kp))
+            # still well-spread
+            d = np.linalg.norm(p.keypoints[None] - p.keypoints[:, None],
+                               axis=-1)
+            np.fill_diagonal(d, 1.0)
+            assert d.min() > 0.01
+
+    def test_open_perm_rejects_non_closed_set(self):
+        with pytest.raises(ValueError):
+            objects_mod.symmetry_keypoint_perms(
+                np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]),
+                (np.diag([-1.0, -1.0, 1.0]),))
+
+    def test_asymmetric_objects_have_no_perms(self):
+        assert objects_mod.cube_object().symmetry_perms == ()
+        assert objects_mod.lwedge_object().symmetry_perms == ()
+
+
+class TestSymmetryAwareLoss:
+    """kpd_train.make_loss_fn(sym_perms=...): min-over-modes semantics."""
+
+    def _batch(self, rng, perm, b=3, h=8, w=6, k=4):
+        labels = rng.random((b, h, w, k)).astype(np.float32)
+        mask = np.ones_like(labels)
+        return labels, mask
+
+    def test_flipped_mode_prediction_scores_zero(self):
+        """A prediction equal to the PERMUTED labels has zero symmetry-
+        aware loss but nonzero plain loss — supervision no longer punishes
+        the equivalent mode."""
+        import jax.numpy as jnp
+        from betapose_tpu.train import kpd_train
+        rng = np.random.default_rng(0)
+        perm = np.array([1, 0, 3, 2], np.int32)
+        labels, mask = self._batch(rng, perm)
+        pred = labels[..., perm]
+        batch = {"labels": jnp.asarray(labels), "set_mask": jnp.asarray(mask)}
+        fwd = lambda params, inps, train=False, bn_stats=None: jnp.asarray(
+            pred)
+        loss_sym = kpd_train.make_loss_fn(
+            8, forward_fn=fwd, sym_perms=(perm,))(
+                {}, dict(batch, inps=jnp.zeros((3, 1))))
+        loss_plain = kpd_train.make_loss_fn(8, forward_fn=fwd)(
+            {}, dict(batch, inps=jnp.zeros((3, 1))))
+        assert float(loss_sym[0]) < 1e-12
+        assert float(loss_plain[0]) > 1e-3
+
+    def test_mode_choice_is_per_sample(self):
+        """Sample 0 predicts canonical, sample 1 predicts flipped — both
+        must contribute ~zero (the min is per sample, not per batch)."""
+        import jax.numpy as jnp
+        from betapose_tpu.train import kpd_train
+        rng = np.random.default_rng(1)
+        perm = np.array([1, 0, 3, 2], np.int32)
+        labels, mask = self._batch(rng, perm, b=2)
+        pred = np.stack([labels[0], labels[1][..., perm]])
+        batch = {"labels": jnp.asarray(labels), "set_mask": jnp.asarray(mask),
+                 "inps": jnp.zeros((2, 1))}
+        fwd = lambda params, inps, train=False, bn_stats=None: jnp.asarray(
+            pred)
+        loss, (acc, _) = kpd_train.make_loss_fn(
+            8, forward_fn=fwd, sym_perms=(perm,))({}, batch)
+        assert float(loss) < 1e-12
+        assert float(acc) == 1.0
+
+    def test_matches_plain_loss_for_identity_perm_free_case(self):
+        """Without sym_perms the loss is the original masked MSE (the
+        asymmetric-object path is bit-identical to before)."""
+        import jax.numpy as jnp
+        from betapose_tpu.train import kpd_train
+        rng = np.random.default_rng(2)
+        labels, mask = self._batch(rng, None)
+        pred = rng.random(labels.shape).astype(np.float32)
+        batch = {"labels": jnp.asarray(labels), "set_mask": jnp.asarray(mask),
+                 "inps": jnp.zeros((3, 1))}
+        fwd = lambda params, inps, train=False, bn_stats=None: jnp.asarray(
+            pred)
+        l0, _ = kpd_train.make_loss_fn(8, forward_fn=fwd)({}, batch)
+        expect = kpd_train.masked_mse_loss(
+            jnp.asarray(pred), batch["labels"], batch["set_mask"])
+        np.testing.assert_allclose(float(l0), float(expect), rtol=1e-6)
+
+    def test_eval_step_symmetry_aware(self):
+        import jax.numpy as jnp
+        from betapose_tpu.train import kpd_train
+        rng = np.random.default_rng(3)
+        perm = np.array([1, 0, 3, 2], np.int32)
+        labels, mask = self._batch(rng, perm, b=2)
+        pred = labels[..., perm]
+        fwd = lambda params, inps: jnp.asarray(pred)
+        step = kpd_train.make_eval_step(8, forward_fn=fwd,
+                                        sym_perms=(perm,))
+        out = step({}, {"labels": jnp.asarray(labels),
+                        "set_mask": jnp.asarray(mask),
+                        "inps": jnp.zeros((2, 1))})
+        assert float(out["loss"]) < 1e-12
+        assert float(out["acc"]) == 1.0
+
+
 class TestCanonicalization:
     def _rand_rot(self, rng):
         """Uniform SO(3) via unit quaternion (numpy's Householder QR is
