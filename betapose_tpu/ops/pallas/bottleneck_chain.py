@@ -82,11 +82,14 @@ def _chain_kernel(x_ref, w1_ref, w2_ref, w3_ref, y_ref, *, h, w):
     y_ref[:] = jnp.maximum(y, 0.0).astype(x.dtype).reshape(tb, s, cin)
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "batch_tile"))
-def bottleneck_chain_pallas(x, w1, w2, w3, *, h, w, batch_tile=8):
+@functools.partial(jax.jit,
+                   static_argnames=("h", "w", "batch_tile", "interpret"))
+def bottleneck_chain_pallas(x, w1, w2, w3, *, h, w, batch_tile=8,
+                            interpret=False):
     """x: [B, H, W, Cin] -> [B, H, W, Cin], VMEM-resident chain.
 
-    batch_tile frames per grid step; weights resident across the grid."""
+    batch_tile frames per grid step; weights resident across the grid.
+    interpret=True runs the Pallas interpreter (CPU correctness tests)."""
     b, hh, ww, cin = x.shape
     assert hh == h and ww == w and b % batch_tile == 0
     s = h * w
@@ -109,6 +112,7 @@ def bottleneck_chain_pallas(x, w1, w2, w3, *, h, w, batch_tile=8):
         ],
         out_specs=pl.BlockSpec((batch_tile, s, cin), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
+        interpret=interpret,
     )(xf, w1, w2, w3)
     return y.reshape(b, h, w, cin)
 
