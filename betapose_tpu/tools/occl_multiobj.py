@@ -339,13 +339,19 @@ def main(argv=None):
     p.add_argument("--work_dir", type=str, default=None)
     p.add_argument("--train_precision", type=str, default=None,
                    choices=["bfloat16", "tensorfloat32", "float32"])
+    p.add_argument("--out_json", type=str, default=None,
+                   help="write the per-object result dict to this file")
     args = p.parse_args(argv)
-    return run_occl_multiobj(
+    out = run_occl_multiobj(
         n_frames=args.frames, n_eval=args.eval_frames,
         yolo_iters=args.yolo_iters, kpd_iters=args.kpd_iters,
         kpd_finetune_iters=args.kpd_finetune, reso=args.reso,
         params_dir=args.params_dir, work_dir=args.work_dir,
         train_precision=args.train_precision)
+    if args.out_json:
+        json.dump({str(k): v for k, v in out.items()},
+                  open(args.out_json, "w"), indent=1)
+    return out
 
 
 if __name__ == "__main__":

@@ -366,14 +366,19 @@ def main(argv=None):
     p.add_argument("--params_dir", type=str, default=None)
     p.add_argument("--train_precision", type=str, default=None,
                    choices=["bfloat16", "tensorfloat32", "float32"])
+    p.add_argument("--out_json", type=str, default=None,
+                   help="write the per-object result table to this file")
     args = p.parse_args(argv)
-    return run_sweep(object_names=tuple(args.objects.split(",")),
-                     n_frames=args.frames, n_eval=args.eval_frames,
-                     yolo_iters=args.yolo_iters, kpd_iters=args.kpd_iters,
-                     kpd_finetune_iters=args.kpd_finetune,
-                     num_classes=args.num_classes, reso=args.reso,
-                     params_dir=args.params_dir,
-                     train_precision=args.train_precision)
+    out = run_sweep(object_names=tuple(args.objects.split(",")),
+                    n_frames=args.frames, n_eval=args.eval_frames,
+                    yolo_iters=args.yolo_iters, kpd_iters=args.kpd_iters,
+                    kpd_finetune_iters=args.kpd_finetune,
+                    num_classes=args.num_classes, reso=args.reso,
+                    params_dir=args.params_dir,
+                    train_precision=args.train_precision)
+    if args.out_json:
+        json.dump(out, open(args.out_json, "w"), indent=1)
+    return out
 
 
 if __name__ == "__main__":
