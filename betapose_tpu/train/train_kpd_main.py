@@ -75,7 +75,37 @@ def add_train_args(parser):
                         help="MXU mode for train-step convs (default: "
                         "kpd_train.DEFAULT_TRAIN_PRECISION); activations/"
                         "BN/loss/optimizer stay f32 in every mode")
+    parser.add_argument("--symPerms", default=None, type=str,
+                        help="symmetric-object training: .npy [M,K] (or "
+                        "text, one comma-separated row per symmetry "
+                        "element) of keypoint-channel permutations; the "
+                        "loss becomes per-sample min over symmetry modes "
+                        "(kpd_train.make_loss_fn sym_perms).  Derive from "
+                        "a keypoint model + symmetry rotation with "
+                        "tools.objects.symmetry_keypoint_perms")
     return parser
+
+
+def load_sym_perms(path, n_classes):
+    """Load channel permutations for the symmetry-aware loss: .npy [M,K]
+    or text rows of comma-separated ints.  Each row must be a permutation
+    of range(n_classes)."""
+    if path.endswith(".npy"):
+        arr = np.load(path)
+        rows = np.atleast_2d(np.asarray(arr, np.int64))
+    else:
+        with open(path) as f:
+            rows = np.asarray(
+                [[int(v) for v in line.replace(",", " ").split()]
+                 for line in f if line.strip()], np.int64)
+    perms = []
+    for row in rows:
+        if sorted(row.tolist()) != list(range(n_classes)):
+            raise ValueError(
+                f"--symPerms row {row.tolist()} is not a permutation of "
+                f"range({n_classes})")
+        perms.append(row.astype(np.int32))
+    return tuple(perms)
 
 
 def main(argv=None):
@@ -165,11 +195,15 @@ def main(argv=None):
             print(f"Continuing from epoch {start_epoch}")
     precision = (args.trainPrecision
                  or kpd_train.DEFAULT_TRAIN_PRECISION)
+    sym_perms = (load_sym_perms(args.symPerms, args.nClasses)
+                 if args.symPerms else None)
     train_step = kpd_train.make_train_step(tx, out_res_h=args.outputResH,
                                            forward_fn=forward_fn,
-                                           matmul_precision=precision)
+                                           matmul_precision=precision,
+                                           sym_perms=sym_perms)
     eval_step = kpd_train.make_eval_step(out_res_h=args.outputResH,
-                                         forward_fn=forward_fn)
+                                         forward_fn=forward_fn,
+                                         sym_perms=sym_perms)
 
     mesh = mesh_mod.make_mesh(args.n_devices)
     params = mesh_mod.replicate(mesh, params)

@@ -84,3 +84,58 @@ def test_train_cli_hgprm(tiny_kpd_data, tmp_path):
     train_kpd_main.main(argv)
     exp_dir = tmp_path / "exp" / "coco" / "hg"
     assert (exp_dir / "model_final.npz").exists()
+
+
+class TestSymPerms:
+    """--symPerms loading/validation (the symmetry-aware loss hookup)."""
+
+    def test_load_npy_and_text(self, tmp_path):
+        from betapose_tpu.train.train_kpd_main import load_sym_perms
+        perm = np.array([1, 0, 3, 2])
+        npy = tmp_path / "p.npy"
+        np.save(npy, perm)
+        (p,) = load_sym_perms(str(npy), 4)
+        np.testing.assert_array_equal(p, perm)
+        txt = tmp_path / "p.txt"
+        txt.write_text("1,0,3,2\n2, 3, 0, 1\n")
+        p1, p2 = load_sym_perms(str(txt), 4)
+        np.testing.assert_array_equal(p1, perm)
+        np.testing.assert_array_equal(p2, [2, 3, 0, 1])
+
+    def test_rejects_non_permutation(self, tmp_path):
+        from betapose_tpu.train.train_kpd_main import load_sym_perms
+        bad = tmp_path / "bad.txt"
+        bad.write_text("0,0,1,2\n")
+        with pytest.raises(ValueError):
+            load_sym_perms(str(bad), 4)
+
+    def test_rejects_wrong_length(self, tmp_path):
+        from betapose_tpu.train.train_kpd_main import load_sym_perms
+        bad = tmp_path / "bad.npy"
+        np.save(bad, np.array([1, 0, 2]))
+        with pytest.raises(ValueError):
+            load_sym_perms(str(bad), 4)
+
+
+@pytest.mark.slow
+def test_train_cli_sym_perms(tiny_kpd_data, tmp_path):
+    """One epoch with --symPerms: the min-over-modes loss trains through
+    the real CLI (symmetric-object capability on the reference-parity
+    trainer surface)."""
+    from betapose_tpu.train import train_kpd_main
+    pfile = tmp_path / "perm.txt"
+    pfile.write_text("1,0,3,2\n")
+    argv = [
+        "--expID", "sym", "--nClasses", "4", "--netType", "resnet50",
+        "--optMethod", "adam", "--trainBatch", "3", "--validBatch", "3",
+        "--nEpochs", "1", "--snapshot", "1", "--valid_every", "1",
+        "--inputResH", "64", "--inputResW", "32",
+        "--outputResH", "16", "--outputResW", "8",
+        "--annot_dir", tiny_kpd_data, "--img_dir", tiny_kpd_data,
+        "--exp_root", str(tmp_path / "exp"),
+        "--tb_root", str(tmp_path / "tb"),
+        "--n_devices", "1",
+        "--symPerms", str(pfile),
+    ]
+    train_kpd_main.main(argv)
+    assert (tmp_path / "exp" / "coco" / "sym" / "model_final.npz").exists()
