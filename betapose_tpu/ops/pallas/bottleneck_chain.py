@@ -61,16 +61,31 @@ def _chain_kernel(x_ref, w1_ref, w2_ref, w3_ref, y_ref, *, h, w):
     # spatial grid is [h, w]; tap (dy, dx) contributes
     # out[y, x] += h1[y+dy-1, x+dx-1] @ w2[dy*3+dx]  (zero outside)
     h1g = h1.reshape(tb, h, w, cm)
-    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+
+    def shift(a, d, axis):
+        # static shift by -d along axis with zero fill (d in {-1,0,1});
+        # Python-level branches keep every Mosaic slice positive-sized
+        # (jnp.roll emits a zero-size slice for d == 0, which Mosaic
+        # rejects: "vector types must have positive constant sizes").
+        if d == 0:
+            return a
+        n = a.shape[axis]
+        sl = [slice(None)] * a.ndim
+        zl = [slice(None)] * a.ndim
+        if d > 0:            # out[y] = in[y+d]: drop head, append zeros
+            sl[axis] = slice(d, n)
+            zl[axis] = slice(0, d)
+        else:                # out[y] = in[y+d]: prepend zeros, drop tail
+            sl[axis] = slice(0, n + d)
+            zl[axis] = slice(0, -d)
+        body, pad = a[tuple(sl)], jnp.zeros_like(a[tuple(zl)])
+        return jnp.concatenate(
+            [body, pad] if d > 0 else [pad, body], axis=axis)
+
     acc = jnp.zeros((tb * s, cm), jnp.float32)
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
-            # shift h1 by (-dy, -dx) with zero fill: roll + border mask
-            shifted = jnp.roll(h1g, shift=(-dy, -dx), axis=(1, 2))
-            valid = ((row + dy >= 0) & (row + dy < h)
-                     & (col + dx >= 0) & (col + dx < w))
-            shifted = jnp.where(valid[None, :, :, None], shifted, 0)
+            shifted = shift(shift(h1g, dy, 1), dx, 2)
             tap = w2_ref[(dy + 1) * 3 + (dx + 1)]
             acc += jnp.dot(shifted.reshape(tb * s, cm), tap,
                            preferred_element_type=jnp.float32)

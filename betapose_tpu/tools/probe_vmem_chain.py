@@ -62,12 +62,24 @@ def probe_shape(b, h, w, cin, cm, k, batch_tile):
     w3 = jnp.asarray(rng.standard_normal((cm, cin)), jnp.bfloat16) * 0.02
 
     xla_fn = functools.partial(bottleneck_chain_xla, w1=w1, w2=w2, w3=w3)
-    pl_fn = functools.partial(bottleneck_chain_pallas, w1=w1, w2=w2, w3=w3,
-                              h=h, w=w, batch_tile=batch_tile)
 
-    # numeric agreement first (bf16 chains: loose tolerance)
+    # numeric agreement first (bf16 chains: loose tolerance); large-cin
+    # shapes overflow the 16M scoped-VMEM stack at tile 8 — halve until
+    # the kernel compiles (the weights stay resident either way)
     ref = np.asarray(xla_fn(x), np.float32)
-    got = np.asarray(pl_fn(x), np.float32)
+    got = None
+    while batch_tile >= 1:
+        pl_fn = functools.partial(bottleneck_chain_pallas, w1=w1, w2=w2,
+                                  w3=w3, h=h, w=w, batch_tile=batch_tile)
+        try:
+            got = np.asarray(pl_fn(x), np.float32)
+            break
+        except Exception as e:  # noqa: BLE001 — compile-time VMEM OOM
+            if "vmem" not in str(e).lower() or batch_tile == 1:
+                raise
+            print(f"# batch_tile {batch_tile} overflows scoped VMEM at "
+                  f"{b}x{h}x{w}x{cin}; retrying with {batch_tile // 2}")
+            batch_tile //= 2
     scale = max(float(np.abs(ref).max()), 1e-6)
     max_rel = float(np.abs(ref - got).max()) / scale
     assert max_rel < 0.05, f"kernel disagrees with XLA: max_rel={max_rel}"
@@ -77,6 +89,7 @@ def probe_shape(b, h, w, cin, cm, k, batch_tile):
     t_pl = _time_chain(pl_fn, x, k)
     return {
         "shape": f"{b}x{h}x{w}x{cin}->cm{cm}",
+        "batch_tile": batch_tile,
         "flops_g": round(flops / 1e9, 2),
         "xla_ms": round(t_xla * 1e3, 3),
         "xla_mfu": round(flops / t_xla / PEAK_BF16, 4),
