@@ -54,7 +54,7 @@ def _time_chain(fn, x, k, iters=8):
     return (time.perf_counter() - t0) / (iters * k)
 
 
-def probe_shape(b, h, w, cin, cm, k, batch_tile):
+def probe_shape(b, h, w, cin, cm, k, batch_tile, pallas=True):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((b, h, w, cin)), jnp.bfloat16) * 0.1
     w1 = jnp.asarray(rng.standard_normal((cin, cm)), jnp.bfloat16) * 0.02
@@ -62,6 +62,18 @@ def probe_shape(b, h, w, cin, cm, k, batch_tile):
     w3 = jnp.asarray(rng.standard_normal((cm, cin)), jnp.bfloat16) * 0.02
 
     xla_fn = functools.partial(bottleneck_chain_xla, w1=w1, w2=w2, w3=w3)
+    flops = chain_flops(b, h, w, cin, cm)
+    if not pallas:
+        # shallow/large-spatial stages: only the XLA chain rate matters
+        # for the stack-mix decomposition, and the 9-shift Mosaic kernel
+        # compiles pathologically there — skip it.
+        t_xla = _time_chain(xla_fn, x, k)
+        return {
+            "shape": f"{b}x{h}x{w}x{cin}->cm{cm}",
+            "flops_g": round(flops / 1e9, 2),
+            "xla_ms": round(t_xla * 1e3, 3),
+            "xla_mfu": round(flops / t_xla / PEAK_BF16, 4),
+        }
 
     # numeric agreement first (bf16 chains: loose tolerance); large-cin
     # shapes overflow the 16M scoped-VMEM stack at tile 8 — halve until
@@ -107,16 +119,26 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=96)
     p.add_argument("--k", type=int, default=20)
     p.add_argument("--batch_tile", type=int, default=8)
+    p.add_argument("--shallow", action="store_true",
+                   help="also probe the shallow/mid darknet53 stages "
+                        "(bandwidth-bound, large-spatial) to decompose "
+                        "the whole-stack MFU mix")
     args = p.parse_args(argv)
     shapes = [
-        (13, 13, 1024, 512),   # darknet53 deep stage @416
-        (10, 8, 2048, 512),    # SE-R101 layer4 @320x256
-        (20, 16, 1024, 256),   # SE-R101 layer3 @320x256
+        (13, 13, 1024, 512, True),   # darknet53 deep stage @416
+        (10, 8, 2048, 512, True),    # SE-R101 layer4 @320x256
+        (20, 16, 1024, 256, True),   # SE-R101 layer3 @320x256
     ]
+    if args.shallow:
+        shapes += [
+            (26, 26, 512, 256, False),    # darknet53 stage4 @416
+            (52, 52, 256, 128, False),    # darknet53 stage3 @416
+            (104, 104, 128, 64, False),   # darknet53 stage2 (bandwidth)
+        ]
     rows = []
-    for h, w, cin, cm in shapes:
+    for h, w, cin, cm, pallas in shapes:
         row = probe_shape(args.batch, h, w, cin, cm, args.k,
-                          args.batch_tile)
+                          args.batch_tile, pallas=pallas)
         rows.append(row)
         print(json.dumps(row))
     return rows
