@@ -61,3 +61,15 @@ class TestBottleneckChainParity:
         # 1x1: 2*S*cin*cm, 3x3: 18*S*cm^2, expand: 2*S*cm*cin
         assert chain_flops(1, 2, 2, 4, 8) == (
             2 * 4 * 4 * 8 + 18 * 4 * 8 * 8 + 2 * 4 * 8 * 4)
+
+
+class TestProbeTool:
+    def test_probe_shape_xla_only_row(self):
+        """`--shallow` rows skip the Pallas kernel (large-spatial Mosaic
+        compile is pathological) and report only the XLA chain rate."""
+        from betapose_tpu.tools.probe_vmem_chain import probe_shape
+        row = probe_shape(2, 3, 3, 8, 4, k=2, batch_tile=2, pallas=False)
+        assert set(row) == {"shape", "flops_g", "xla_ms", "xla_mfu"}
+        assert row["shape"] == "2x3x3x8->cm4"
+        # tiny CPU shape: mfu rounds to 0.0 at 4 decimals — only sanity
+        assert row["xla_ms"] > 0 and row["xla_mfu"] >= 0
