@@ -349,7 +349,9 @@ def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=1500,
             truths[i, 0] = [(bb[0] + bb[2]) / 2 / 640,
                             (bb[1] + bb[3]) / 2 / 480,
                             (bb[2] - bb[0]) / 640, (bb[3] - bb[1]) / 480, 0]
-        full_j = jnp.asarray(frames[:n_frames].astype(np.float32) / 255.0)
+        # u8-resident frame pool, exact per-batch f32 convert (see the
+        # KPD stage note: the f32 pool was 4x the HBM)
+        full_u8 = jnp.asarray(frames[:n_frames])
         truths_j = jnp.asarray(truths)
         t0 = time.time()
         B = 16
@@ -358,7 +360,8 @@ def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=1500,
             sel = rng.integers(0, n_frames, B)
             ykey, k1 = jax.random.split(ykey)
             aug_imgs, aug_truths = yolo_train.augment_detection_batch(
-                k1, full_j[sel], truths_j[sel], ycfg, reso, reso)
+                k1, full_u8[sel].astype(jnp.float32) / 255.0,
+                truths_j[sel], ycfg, reso, reso)
             yparams, yopt, ym = ystep(yparams, yopt, aug_imgs, aug_truths)
         if verbose:
             print(f"yolo trained {yolo_iters} iters "
@@ -405,7 +408,10 @@ def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=1500,
         aug_cfg = AugmentConfig(inp_h=inp_h, inp_w=inp_w, out_h=out_h,
                                 out_w=out_w, rotate=0.0, train=True,
                                 flip=False, add_dpg=add_dpg)
-        imgs01 = jnp.asarray(frames[:n_frames].astype(np.float32) / 255.0)
+        # resident pool stays u8 (1600 occlusion-tier frames are 1.5 GB
+        # u8 vs 5.9 GB f32 — the f32 copy OOMed hgPRM training); the
+        # per-batch u8->f32 convert is exact, so the math is unchanged
+        imgs_u8 = jnp.asarray(frames[:n_frames])
         key = jax.random.PRNGKey(2)
         t0 = time.time()
         # NOTE: kp_vis (occlusion-aware zero targets) is deliberately NOT
@@ -419,7 +425,8 @@ def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=1500,
         for it in range(kpd_iters):
             sel = rng.integers(0, n_frames, kpd_batch)
             key, k1 = jax.random.split(key)
-            batch = augment_batch(k1, imgs01[sel],
+            batch = augment_batch(k1,
+                                  imgs_u8[sel].astype(jnp.float32) / 255.0,
                                   jnp.asarray(bboxes_np[sel]),
                                   jnp.asarray(parts_np[sel]), aug_cfg)
             kparams, kopt, km = kstep(kparams, kopt, batch)
@@ -442,9 +449,10 @@ def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=1500,
             for it in range(kpd_finetune_iters):
                 sel = rng.integers(0, n_frames, kpd_batch)
                 key, k1 = jax.random.split(key)
-                batch = augment_batch(k1, imgs01[sel],
-                                      jnp.asarray(bboxes_np[sel]),
-                                      jnp.asarray(parts_np[sel]), aug_cfg)
+                batch = augment_batch(
+                    k1, imgs_u8[sel].astype(jnp.float32) / 255.0,
+                    jnp.asarray(bboxes_np[sel]),
+                    jnp.asarray(parts_np[sel]), aug_cfg)
                 kparams, kopt2, km = kstep2(kparams, kopt2, batch)
             if verbose:
                 print(f"kpd finetuned {kpd_finetune_iters} iters @1e-4 "
