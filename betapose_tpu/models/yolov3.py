@@ -52,6 +52,8 @@ class LayerSpec:
     anchors: tuple = ()         # ((w,h),...) for this head (mask applied)
     num_classes: int = 0
     ignore_thresh: float = 0.7
+    focal_loss: bool = False    # [yolo] focal class deltas (parser.c:284,
+    #                           # delta_yolo_class yolo_layer.c:121-138)
     # connected
     in_features: int = 0        # flattened h*w*c feeding the matmul
     # detection (YOLOv1 head, detection_layer.c)
@@ -419,7 +421,8 @@ def build_spec(cfg) -> NetworkSpec:
             layers.append(LayerSpec(
                 "yolo", cin, anchors=anchors,
                 num_classes=int(b["classes"]),
-                ignore_thresh=float(b.get("ignore_thresh", 0.7))))
+                ignore_thresh=float(b.get("ignore_thresh", 0.7)),
+                focal_loss=int(b.get("focal_loss", 0)) != 0))
             out_channels.append(cin)
             dims.append((cur_h, cur_w))
         elif t == "detection":

@@ -3,19 +3,35 @@
 The reference's accuracy domain is 13 *varied* real meshes — including
 rotationally-symmetric (eggbox, glue) and non-convex ones — evaluated one
 sequence per object with per-object weights (`betapose_evaluate.py:80`,
-`KPD/src/main_fast_inference.py:29-36`).  The selftest's single cube
-cannot falsify cube-specific tuning, so the sweep grades three *distinct*
-geometries:
+`KPD/src/main_fast_inference.py:29-36`; the 13-object LineMod list
+{1,2,4,5,6,8..15} at `annotate_keypoint.py:63`).  The selftest's single
+cube cannot falsify cube-specific tuning, so the sweep grades THIRTEEN
+distinct geometries mirroring the reference protocol's variety:
 
-- ``cube``:   the original selftest object (rich per-face colors);
-- ``prism``:  a rectangular box whose paired faces share flat colors —
-  its appearance is EXACTLY invariant under a 180° rotation about z
-  (the renderer shades by face normal only, so ±x / ±y same-color face
-  pairs swap into each other pixel-for-pixel).  The synthetic analog of
-  LineMod's symmetric objects: plain ADD is the wrong success metric for
-  it, ADD-S the right one (`utils/metrics.py:23-33`).
-- ``lwedge``: an L-shaped union of two boxes — non-convex silhouette,
-  self-occluding parts, concave bbox interior.
+- ``cube``:     the original selftest object (rich per-face colors);
+- ``prism``:    180°-about-z rotationally symmetric box (paired side
+  faces share colors — appearance EXACTLY invariant under the flip; the
+  renderer shades by face normal only).  The eggbox analog: plain ADD is
+  the wrong metric, ADD-S the right one (`utils/metrics.py:23-33`);
+- ``lwedge``:   non-convex L (two boxes) — self-occluding, concave bbox;
+- ``tower``:    thin elongated 5.4:1 bar (lamp/can-like slender object);
+- ``tiny``:     7 cm diameter — the ADD<0.1·d bar shrinks to 7 mm (the
+  ape-analog small object);
+- ``ring``:     genus-1 square frame of four bars — a through-hole the
+  background shows through (holepuncher/iron analog);
+- ``quad``:     FOUR-fold rotational symmetry about z given as a SINGLE
+  90° generator — the group-closure path: canonicalization and the
+  min-over-modes loss must see all three non-identity elements;
+- ``slab``:     thin flat plate, 180° symmetric about its LONG (x) axis —
+  the glue analog: a flat symmetric object whose symmetry axis differs
+  from the prism's;
+- ``cross``:    plus-sign union of two bars — non-convex, flat;
+- ``steps``:    three-box staircase — multi-part, non-convex;
+- ``tbar``:     T-shape (stem + top bar);
+- ``checker``:  cube with 2x2 checkered faces — the textured variant
+  (within-face appearance structure, not flat face colors);
+- ``dumbbell``: two end blocks joined by a thin bar — elongated with
+  bulbs, mostly-empty bbox mid-section.
 
 Symmetric-object annotation uses pose canonicalization: views that look
 identical MUST get identical keypoint labels, or heatmap training
@@ -24,6 +40,11 @@ deterministic representative of the symmetry orbit (standard practice for
 keypoint training on symmetric objects); the EVAL still compares against
 the raw GT pose, which is exactly why the symmetric object fails plain
 ADD and passes ADD-S end-to-end.
+
+``MeshObject`` closes the provided symmetry generators into the full
+finite group at construction (minus identity), so an object specified by
+a single generator of a 4-fold symmetry (``quad``) canonicalizes and
+trains with every mode — not just the generator.
 """
 
 from __future__ import annotations
@@ -36,25 +57,45 @@ _QUADS = [(0, 1, 3, 2), (4, 6, 7, 5), (0, 4, 5, 1),
 
 
 def _box_mesh(center, half, face_colors):
-    """Axis-aligned box triangle mesh with per-face flat colors.
+    """Axis-aligned box triangle mesh with per-face colors.
 
-    Returns (verts [24,3], colors [24,3], tris [12,3]) — same quad
-    corner/winding layout as the selftest CubeModel."""
+    face_colors is [6,3] (flat per-face color) or [6,2,3] (2x2 checker of
+    two alternating colors per face — the "textured" variant: the face is
+    subdivided into four bilinear sub-quads colored c0,c1 / c1,c0).
+
+    Returns (verts, colors, tris) — same quad corner/winding layout as
+    the selftest CubeModel."""
     center = np.asarray(center, float)
     half = np.asarray(half, float)
     c = center + np.array([[x, y, z] for x in (-half[0], half[0])
                            for y in (-half[1], half[1])
                            for z in (-half[2], half[2])])
     face_colors = np.asarray(face_colors, float)
+    checker = face_colors.ndim == 3
     verts, cols, tris = [], [], []
-    for qi, q in enumerate(_QUADS):
+
+    def emit_quad(p, col):
         base = len(verts)
-        for vi in q:
-            verts.append(c[vi])
-        col = face_colors[qi]
+        verts.extend(p)
         cols.extend([col] * 4)
         tris.append([base, base + 1, base + 2])
         tris.append([base, base + 2, base + 3])
+
+    for qi, q in enumerate(_QUADS):
+        p = [c[vi] for vi in q]
+        if not checker:
+            emit_quad(p, face_colors[qi])
+            continue
+        # bilinear 2x2 subdivision; sub-cell (i,j) gets color (i+j) % 2
+        def at(u, v):
+            return ((1 - u) * (1 - v) * p[0] + u * (1 - v) * p[1]
+                    + u * v * p[2] + (1 - u) * v * p[3])
+        for i in range(2):
+            for j in range(2):
+                u0, u1 = i * 0.5, (i + 1) * 0.5
+                v0, v1 = j * 0.5, (j + 1) * 0.5
+                sub = [at(u0, v0), at(u1, v0), at(u1, v1), at(u0, v1)]
+                emit_quad(sub, face_colors[qi][(i + j) % 2])
     return np.asarray(verts), np.asarray(cols), np.asarray(tris, int)
 
 
@@ -78,9 +119,20 @@ class MeshObject:
         self.vertices = np.concatenate(vs)
         self.colors = np.concatenate(cs)
         self.faces = np.concatenate(ts)
-        # symmetry group generators as 3x3 object-frame rotations
-        # (identity excluded); () = asymmetric
-        self.symmetries = tuple(np.asarray(S, float) for S in symmetries)
+        # symmetries: GENERATORS of the object-frame symmetry group (3x3
+        # rotations, identity excluded); () = asymmetric.  The generators
+        # are closed into the full finite group here, so downstream
+        # consumers (canonicalize_pose, symmetry_keypoint_perms, the
+        # min-over-modes loss) always see every non-identity element —
+        # a 4-fold object specified by one 90° generator trains and
+        # canonicalizes with all three modes, not just the generator.
+        if symmetries:
+            group = _symmetry_group(symmetries)
+            self.symmetries = tuple(
+                G for G in group if not np.allclose(G, np.eye(3),
+                                                    atol=1e-9))
+        else:
+            self.symmetries = ()
         self.keypoints = designate_keypoints(self, n_kp)
         # channel permutations induced by each symmetry element (orbit-
         # closed designation guarantees they exist) — consumed by the
@@ -331,8 +383,173 @@ def lwedge_object(n_kp: int = 26) -> MeshObject:
         n_kp=n_kp)
 
 
+def tower_object(n_kp: int = 26) -> MeshObject:
+    """Thin elongated 5.4:1 bar — the slender-object class (the per-view
+    silhouette is ~25 px wide at the sweep's working distance)."""
+    colors = np.array([
+        [0.9, 0.25, 0.25], [0.25, 0.85, 0.3], [0.3, 0.4, 0.95],
+        [0.95, 0.85, 0.2], [0.85, 0.3, 0.9], [0.25, 0.9, 0.85]])
+    return MeshObject("tower",
+                      [((0, 0, 0), (0.012, 0.012, 0.065), colors)],
+                      n_kp=n_kp)
+
+
+def tiny_object(n_kp: int = 26) -> MeshObject:
+    """Small-diameter object (~7 cm): the ADD < 0.1·diameter bar shrinks
+    to 7 mm — the ape-analog hardness class."""
+    colors = np.array([
+        [0.95, 0.45, 0.7], [0.45, 0.95, 0.45], [0.5, 0.6, 0.95],
+        [0.95, 0.7, 0.25], [0.7, 0.35, 0.95], [0.4, 0.95, 0.85]])
+    return MeshObject("tiny",
+                      [((0, 0, 0), (0.018, 0.022, 0.02), colors)],
+                      n_kp=n_kp)
+
+
+def ring_object(n_kp: int = 26) -> MeshObject:
+    """Genus-1 square frame: four bars around a 7x7 cm through-hole the
+    background shows through — the holed-object class.  The side bars'
+    z-half is 0.0002 under the top/bottom bars' so overlapping corner
+    faces never z-fight."""
+    def pal(base):
+        base = np.asarray(base)
+        return np.clip(np.stack([base * s for s in
+                                 (1.0, 0.75, 0.9, 0.65, 0.85, 0.7)]), 0, 1)
+    top = pal([0.95, 0.3, 0.25])
+    bot = pal([0.3, 0.9, 0.35])
+    left = pal([0.35, 0.45, 0.95])
+    right = pal([0.95, 0.85, 0.25])
+    return MeshObject("ring", [
+        ((0, 0.0425, 0), (0.05, 0.0075, 0.015), top),
+        ((0, -0.0425, 0), (0.05, 0.0075, 0.015), bot),
+        ((-0.0425, 0, 0), (0.0075, 0.05, 0.0148), left),
+        ((0.0425, 0, 0), (0.0075, 0.05, 0.0148), right)], n_kp=n_kp)
+
+
+def quad_object(n_kp: int = 26) -> MeshObject:
+    """4-fold rotationally symmetric about z: square cross-section, all
+    four side faces one color, distinct caps.  The symmetry is given as a
+    SINGLE 90° generator — MeshObject closes it into {90°,180°,270°}, so
+    canonicalization and the min-over-modes loss act on the full group."""
+    side = [0.95, 0.55, 0.15]
+    blue, green = [0.25, 0.35, 0.95], [0.25, 0.9, 0.35]
+    colors = np.array([side, side, side, side, blue, green])
+    rot90 = np.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+    return MeshObject("quad",
+                      [((0, 0, 0), (0.03, 0.03, 0.055), colors)],
+                      n_kp=n_kp, symmetries=(rot90,))
+
+
+def slab_object(n_kp: int = 26) -> MeshObject:
+    """Thin flat plate, 180° rotationally symmetric about its LONG (x)
+    axis: ±y faces share a color, ±z faces share a color, the two x caps
+    are distinct (killing any further symmetry).  The glue analog — a
+    flat symmetric object whose symmetry axis differs from the prism's
+    z-flip."""
+    red, cyan = [0.95, 0.3, 0.25], [0.25, 0.9, 0.85]
+    green, violet = [0.3, 0.9, 0.35], [0.7, 0.35, 0.95]
+    colors = np.array([red, cyan, green, green, violet, violet])
+    return MeshObject("slab",
+                      [((0, 0, 0), (0.055, 0.035, 0.009), colors)],
+                      n_kp=n_kp, symmetries=(np.diag([1.0, -1.0, -1.0]),))
+
+
+def cross_object(n_kp: int = 26) -> MeshObject:
+    """Plus-sign union of two crossing bars — non-convex, flat.  All
+    twelve faces distinctly colored, so the 2-fold geometric symmetry of
+    the cross is broken by appearance (asymmetric for training)."""
+    bar_a = np.array([
+        [0.95, 0.3, 0.25], [0.3, 0.9, 0.35], [0.3, 0.45, 0.95],
+        [0.95, 0.85, 0.25], [0.85, 0.3, 0.9], [0.3, 0.9, 0.85]])
+    bar_b = np.array([
+        [0.95, 0.55, 0.2], [0.55, 0.3, 0.9], [0.4, 0.95, 0.6],
+        [0.95, 0.4, 0.55], [0.6, 0.8, 0.25], [0.9, 0.7, 0.45]])
+    return MeshObject("cross", [
+        ((0, 0, 0), (0.055, 0.016, 0.013), bar_a),
+        ((0, 0, 0), (0.016, 0.055, 0.013), bar_b)], n_kp=n_kp)
+
+
+def steps_object(n_kp: int = 26) -> MeshObject:
+    """Three-box staircase rising along y — multi-part, non-convex,
+    strongly orientation-revealing."""
+    def pal(base):
+        base = np.asarray(base)
+        return np.clip(np.stack([base * s for s in
+                                 (1.0, 0.7, 0.9, 0.6, 0.8, 0.65)]), 0, 1)
+    return MeshObject("steps", [
+        ((0, -0.027, -0.0225), (0.022, 0.0135, 0.0075),
+         pal([0.95, 0.3, 0.3])),
+        ((0, 0.0, -0.0075), (0.022, 0.0135, 0.0225),
+         pal([0.3, 0.9, 0.4])),
+        ((0, 0.027, 0.0075), (0.022, 0.0135, 0.0375),
+         pal([0.35, 0.5, 0.95]))], n_kp=n_kp)
+
+
+def tbar_object(n_kp: int = 26) -> MeshObject:
+    """T-shape: vertical stem + horizontal top bar (the bar swallows the
+    stem's top face — interior candidates are pruned)."""
+    stem = np.array([
+        [0.95, 0.35, 0.3], [0.35, 0.9, 0.4], [0.35, 0.5, 0.95],
+        [0.95, 0.85, 0.3], [0.85, 0.35, 0.9], [0.35, 0.9, 0.85]])
+    bar = np.array([
+        [0.95, 0.6, 0.2], [0.6, 0.35, 0.95], [0.45, 0.95, 0.65],
+        [0.95, 0.45, 0.6], [0.65, 0.85, 0.3], [0.9, 0.75, 0.5]])
+    return MeshObject("tbar", [
+        ((0, 0, -0.02), (0.014, 0.014, 0.04), stem),
+        ((0, 0, 0.028), (0.05, 0.016, 0.012), bar)], n_kp=n_kp)
+
+
+def checker_object(n_kp: int = 26) -> MeshObject:
+    """Textured variant: a cube whose faces carry a 2x2 checker of two
+    alternating colors — within-face appearance structure instead of the
+    zoo's flat face colors (the closest box-world analog of the
+    reference's textured meshes, `utils/renderer.py:50-85` textured
+    program)."""
+    pairs = np.array([
+        [[0.95, 0.25, 0.25], [0.25, 0.25, 0.3]],
+        [[0.25, 0.9, 0.3], [0.95, 0.95, 0.9]],
+        [[0.3, 0.4, 0.95], [0.95, 0.85, 0.25]],
+        [[0.9, 0.3, 0.9], [0.3, 0.9, 0.85]],
+        [[0.95, 0.6, 0.2], [0.3, 0.3, 0.9]],
+        [[0.6, 0.95, 0.4], [0.8, 0.25, 0.5]]])
+    return MeshObject("checker",
+                      [((0, 0, 0), (0.035, 0.035, 0.035), pairs)],
+                      n_kp=n_kp)
+
+
+def dumbbell_object(n_kp: int = 26) -> MeshObject:
+    """Two end blocks joined by a thin bar (the bar overlaps the ends by
+    3 mm so its cap candidates fall strictly inside and are pruned) —
+    elongated with bulbs, a mostly-empty bbox mid-section."""
+    end_a = np.array([
+        [0.95, 0.3, 0.25], [0.3, 0.9, 0.35], [0.3, 0.45, 0.95],
+        [0.95, 0.85, 0.25], [0.85, 0.3, 0.9], [0.3, 0.9, 0.85]])
+    end_b = np.array([
+        [0.95, 0.55, 0.2], [0.55, 0.3, 0.9], [0.4, 0.95, 0.6],
+        [0.95, 0.4, 0.55], [0.6, 0.8, 0.25], [0.9, 0.7, 0.45]])
+    bar = np.array([[0.8, 0.8, 0.3]] * 6)
+    return MeshObject("dumbbell", [
+        ((0, 0, -0.042), (0.02, 0.02, 0.02), end_a),
+        ((0, 0, 0), (0.009, 0.009, 0.025), bar),
+        ((0, 0, 0.042), (0.02, 0.02, 0.02), end_b)], n_kp=n_kp)
+
+
+# the 13-object sweep roster (mirrors the reference's 13-object LineMod
+# protocol breadth, `annotate_keypoint.py:63`): three symmetric rows
+# (prism 2-fold, quad 4-fold, slab flat 2-fold-about-x), four non-convex
+# (lwedge/cross/steps/tbar), thin (tower), small (tiny), holed (ring),
+# textured (checker), bulbed-elongated (dumbbell)
 OBJECT_BUILDERS = {
     "cube": cube_object,
     "prism": prism_object,
     "lwedge": lwedge_object,
+    "tower": tower_object,
+    "tiny": tiny_object,
+    "ring": ring_object,
+    "quad": quad_object,
+    "slab": slab_object,
+    "cross": cross_object,
+    "steps": steps_object,
+    "tbar": tbar_object,
+    "checker": checker_object,
+    "dumbbell": dumbbell_object,
 }

@@ -349,7 +349,8 @@ def main(argv=None):
         params_dir=args.params_dir, work_dir=args.work_dir,
         train_precision=args.train_precision)
     if args.out_json:
-        json.dump({str(k): v for k, v in out.items()},
+        from betapose_tpu.tools.sweep import json_sanitize
+        json.dump(json_sanitize({str(k): v for k, v in out.items()}),
                   open(args.out_json, "w"), indent=1)
     return out
 

@@ -77,7 +77,23 @@ def probe_shape(b, h, w, cin, cm, k, batch_tile, pallas=True):
 
     # numeric agreement first (bf16 chains: loose tolerance); large-cin
     # shapes overflow the 16M scoped-VMEM stack at tile 8 — halve until
-    # the kernel compiles (the weights stay resident either way)
+    # the kernel compiles (the weights stay resident either way).  Only
+    # Mosaic's allocation-failure message triggers the retry (a genuine
+    # kernel bug whose text merely mentions VMEM must surface), and only
+    # tiles that divide the batch are tried (b % batch_tile is a kernel
+    # precondition).
+    def _is_vmem_alloc_failure(e):
+        s = str(e).lower()
+        return ("vmem" in s and
+                any(t in s for t in ("exceed", "alloc", "oom",
+                                     "out of memory", "overflow")))
+
+    def _next_tile(t):
+        t //= 2
+        while t >= 1 and b % t:
+            t //= 2
+        return t
+
     ref = np.asarray(xla_fn(x), np.float32)
     got = None
     while batch_tile >= 1:
@@ -87,11 +103,12 @@ def probe_shape(b, h, w, cin, cm, k, batch_tile, pallas=True):
             got = np.asarray(pl_fn(x), np.float32)
             break
         except Exception as e:  # noqa: BLE001 — compile-time VMEM OOM
-            if "vmem" not in str(e).lower() or batch_tile == 1:
+            nxt = _next_tile(batch_tile)
+            if not _is_vmem_alloc_failure(e) or nxt < 1:
                 raise
             print(f"# batch_tile {batch_tile} overflows scoped VMEM at "
-                  f"{b}x{h}x{w}x{cin}; retrying with {batch_tile // 2}")
-            batch_tile //= 2
+                  f"{b}x{h}x{w}x{cin}; retrying with {nxt}")
+            batch_tile = nxt
     scale = max(float(np.abs(ref).max()), 1e-6)
     max_rel = float(np.abs(ref - got).max()) / scale
     assert max_rel < 0.05, f"kernel disagrees with XLA: max_rel={max_rel}"

@@ -1,5 +1,7 @@
 """Multi-object accuracy sweep: the reference's all-objects evaluation
-loop (BASELINE config #3) on three distinct synthetic geometries.
+loop (BASELINE config #3) on THIRTEEN distinct synthetic geometries —
+the breadth of the reference's 13-object LineMod protocol
+(`annotate_keypoint.py:63` object list {1,2,4,5,6,8..15}).
 
 The reference evaluates LineMod one sequence per object with per-object
 YOLO/KPD weights and prints a per-seq accuracy block
@@ -8,20 +10,30 @@ YOLO/KPD weights and prints a per-seq accuracy block
 `cfg/yolo-linemod.cfg:689-696`).  This driver reproduces that shape
 end-to-end on synthetic data nothing else in the repo trains on:
 
-1. three objects (cube / 180°-symmetric prism / non-convex L, see
-   `tools/objects.py`), each with designated keypoints;
+1. thirteen objects (see `tools/objects.py`: three symmetric — 2-fold
+   prism, 4-fold quad, flat slab — plus non-convex, thin, small, holed,
+   textured, multi-part geometries), each with designated keypoints;
 2. ONE shared multi-class detector at the production 416² shape —
    `make_yolov3_cfg(num_classes=15)` (the full 75-conv yolov3-linemod
-   architecture; 3 of the 15 class slots are populated, as the reference
-   trains its 15-class cfg on however many objects have data);
+   architecture; 13 of the 15 class slots are populated, as the
+   reference trains its 15-class cfg on however many objects have data);
 3. per-object KPD weights (FastPose-resnet50, 320x256 crops — the slow
    selftest recipe);
 4. per-object fused eval with `target_class` routing, graded ADD<0.1d —
-   or ADD-S for the symmetric object (`--sym_objects` semantics of the
-   eval CLIs) — printed as the reference-style per-seq table.
+   or ADD-S for symmetric objects (`--sym_objects` semantics of the
+   eval CLIs) — printed as the reference-style per-seq table.  For
+   symmetric rows the table's 2D-reprojection column is SYMMETRY-AWARE
+   (min over modes): the raw number grades a legitimately-flipped mode
+   with an asymmetric metric and is reported separately in the JSON.
 
-Run: python -m betapose_tpu.tools.sweep --params_dir exp/sweep
-(~45 min first run on one v5e through the tunnel; reruns reload weights)
+Memory phasing (one 16 GB v5e chip): the detector trains from a device
+pool of the first `yolo_frames` frames per object; KPD pools upload one
+object at a time and are freed after training.
+
+Run: python -m betapose_tpu.tools.sweep --params_dir exp/sweep13 \\
+       --yolo_iters 6000 --yolo_frames 300 --out_json SWEEP_r05.json
+(first run trains 1 detector + 13 KPDs, ~3.5 h through the tunnel;
+reruns reload the per-object weight caches and re-grade in minutes)
 """
 
 from __future__ import annotations
@@ -159,8 +171,17 @@ def evaluate_object(pipe, eval_frames, eval_poses, eval_bboxes, obj,
     semantics: IoU>=0.5 gate, ADD < diameter/10)."""
     out = {k: np.asarray(v) for k, v in pipe(eval_frames).items()}
     n_eval = len(eval_frames)
-    add_ok, adds_ok, add_errs, adds_errs, proj, ious, detected = \
-        [], [], [], [], [], [], 0
+    add_ok, adds_ok, add_errs, adds_errs, proj, proj_sym, ious, detected = \
+        [], [], [], [], [], [], [], 0
+    # symmetry modes as 4x4 right-multipliers of the GT pose: projecting
+    # the (self-mapping) vertex set under R·S is the symmetric twin of
+    # the GT view, so min-over-modes reprojection grades a legitimately-
+    # flipped prediction fairly (plain 2D reproj treats it as tens of px)
+    sym_poses = [np.eye(4)]
+    for S in obj.symmetries:
+        M = np.eye(4)
+        M[:3, :3] = np.asarray(S)
+        sym_poses.append(M)
     for j in range(n_eval):
         if not out["det_valid"][j]:
             continue
@@ -182,6 +203,9 @@ def evaluate_object(pipe, eval_frames, eval_poses, eval_bboxes, obj,
         adds_ok.append(s < 0.1 * obj.diameter)
         proj.append(metrics.projection_error_2d(
             gt_pose, pred, obj.vertices, CAM_K))
+        proj_sym.append(min(
+            metrics.projection_error_2d(gt_pose @ M, pred, obj.vertices,
+                                        CAM_K) for M in sym_poses))
     return {
         "object": obj.name,
         "symmetric": bool(obj.symmetries),
@@ -194,18 +218,31 @@ def evaluate_object(pipe, eval_frames, eval_poses, eval_bboxes, obj,
         "mean_adds_m": (float(np.mean(adds_errs)) if adds_errs
                         else float("inf")),
         "mean_2d_px": float(np.mean(proj)) if proj else float("inf"),
+        "mean_2d_px_sym": (float(np.mean(proj_sym)) if proj_sym
+                           else float("inf")),
         "mean_iou": float(np.mean(ious)) if ious else 0.0,
     }
 
 
-def run_sweep(object_names=("cube", "prism", "lwedge"), n_frames=800,
+def run_sweep(object_names=None, n_frames=800,
               n_eval=16, yolo_iters=3000, kpd_iters=8000,
               kpd_finetune_iters=3000, kpd_batch=16, yolo_batch=8,
               reso=416, inp_h=320, inp_w=256, n_kp=26, num_classes=15,
               seed=0, z_range=(0.45, 0.65), params_dir=None,
-              train_precision=None, left_keypoints=20, verbose=True):
-    """Returns {"per_object": [row...], "all_pass_085": bool}."""
+              train_precision=None, left_keypoints=20, verbose=True,
+              yolo_frames=None):
+    """Returns {"per_object": [row...], "all_pass_085": bool}.
+
+    yolo_frames: detector training uses the first yolo_frames frames of
+    each object (default: all n_frames).  13 objects x 800 frames as a
+    device-resident u8 pool is ~9.6 GB — more than a 16 GB chip can
+    spare next to the training step — so the 13-object run caps the
+    detector pool (e.g. 300/object = 3.6 GB) while KPD still trains on
+    the full per-object set (uploaded one object at a time)."""
+    if object_names is None:
+        object_names = tuple(objects_mod.OBJECT_BUILDERS)
     objs = [objects_mod.OBJECT_BUILDERS[n](n_kp) for n in object_names]
+    yolo_n = min(yolo_frames or n_frames, n_frames)
 
     ypath = kpaths = None
     if params_dir:
@@ -219,7 +256,12 @@ def run_sweep(object_names=("cube", "prism", "lwedge"), n_frames=800,
               "kpd_batch": kpd_batch, "yolo_batch": yolo_batch,
               # symmetric objects train with the min-over-modes loss;
               # caches trained under plain canonicalized MSE must refuse
-              "sym_loss": True}
+              "sym_loss": True,
+              # per-sequence render streams (rng keyed by [seed, ci]) —
+              # caches from the shared-stream era saw different frames
+              "render_rng": "per-seq"}
+        if yolo_n != n_frames:
+            fp["yolo_frames"] = yolo_n
         resolved = train_precision or kpd_train.DEFAULT_TRAIN_PRECISION
         if resolved != "float32":
             fp["train_precision"] = resolved
@@ -238,10 +280,12 @@ def run_sweep(object_names=("cube", "prism", "lwedge"), n_frames=800,
                   for o in objs}
 
     # ---- render + annotate every sequence ----
-    rng = np.random.default_rng(seed)
+    # rng keyed per sequence so a crashed/resumed run re-renders the
+    # identical streams regardless of which objects are cached
     seqs = []
     for ci, obj in enumerate(objs):
         t0 = time.time()
+        rng = np.random.default_rng([seed, 101 + ci])
         fr, po, bb, pa = render_sequence(rng, obj, n_frames + n_eval,
                                          z_range)
         seqs.append({"obj": obj, "class_id": ci,
@@ -258,16 +302,17 @@ def run_sweep(object_names=("cube", "prism", "lwedge"), n_frames=800,
     spec = yolo_mod.build_spec(make_yolov3_cfg(
         num_classes=num_classes, width=reso, height=reso))
     need_yolo = not (ypath and os.path.exists(ypath))
-    # device-resident uint8 training pool (~2.2 GB for 3x800 frames —
-    # one upload through the 36 MB/s tunnel instead of per-batch feeds)
-    frames_dev = {s["obj"].name: jax.device_put(jnp.asarray(s["frames"]))
-                  for s in seqs}
     if need_yolo:
-        all_dev = jnp.concatenate([frames_dev[s["obj"].name] for s in seqs])
-        truths = np.zeros((len(seqs) * n_frames, 4, 5), np.float32)
+        # device-resident uint8 detector pool: first yolo_n frames per
+        # object (one upload through the 36 MB/s tunnel instead of
+        # per-batch feeds); freed before the KPD phase
+        all_dev = jnp.concatenate([
+            jax.device_put(jnp.asarray(s["frames"][:yolo_n]))
+            for s in seqs])
+        truths = np.zeros((len(seqs) * yolo_n, 4, 5), np.float32)
         for si, s in enumerate(seqs):
-            for i, bb in enumerate(s["bboxes"]):
-                truths[si * n_frames + i, 0] = [
+            for i, bb in enumerate(s["bboxes"][:yolo_n]):
+                truths[si * yolo_n + i, 0] = [
                     (bb[0] + bb[2]) / 2 / 640, (bb[1] + bb[3]) / 2 / 480,
                     (bb[2] - bb[0]) / 640, (bb[3] - bb[1]) / 480,
                     s["class_id"]]
@@ -303,12 +348,14 @@ def run_sweep(object_names=("cube", "prism", "lwedge"), n_frames=800,
         else:
             if verbose:
                 print(f"training kpd[{obj.name}]")
-            kparams = train_kpd(frames_dev[obj.name], s["bboxes"],
+            pool_dev = jax.device_put(jnp.asarray(s["frames"]))
+            kparams = train_kpd(pool_dev, s["bboxes"],
                                 s["parts"], n_kp, kpd_iters,
                                 kpd_finetune_iters, kpd_batch, inp_h, inp_w,
                                 train_precision, seed=seed + s["class_id"],
                                 verbose=verbose,
                                 sym_perms=obj.symmetry_perms or None)
+            del pool_dev
             if kpath:
                 from betapose_tpu.core import checkpoint as ckpt
                 ckpt.save_pytree_npz(kpath, jax.device_get(kparams))
@@ -331,6 +378,9 @@ def run_sweep(object_names=("cube", "prism", "lwedge"), n_frames=800,
                   f"for seq {row['seq']:02d} is: {acc:.3f}")
 
     # ---- per-seq table (the reference's per-object readout as a block) --
+    # symmetric rows show the symmetry-aware (min over modes) 2D reproj,
+    # marked "*": the plain number grades a legitimately-flipped mode
+    # with an asymmetric metric (mean_2d_px keeps it in the JSON)
     if verbose:
         print("\nseq  object   metric  acc    add_acc  adds_acc  "
               "err_cm   2d_px   iou    det")
@@ -338,9 +388,12 @@ def run_sweep(object_names=("cube", "prism", "lwedge"), n_frames=800,
             metric = "ADD-S" if r["symmetric"] else "ADD"
             acc = r["adds_acc"] if r["symmetric"] else r["add_acc"]
             err = r["mean_adds_m"] if r["symmetric"] else r["mean_add_m"]
+            px = (r["mean_2d_px_sym"] if r["symmetric"]
+                  else r["mean_2d_px"])
+            px_s = f"{px:.1f}{'*' if r['symmetric'] else ' '}"
             print(f"{r['seq']:02d}   {r['object']:<8} {metric:<7} "
                   f"{acc:<6.2f} {r['add_acc']:<8.2f} {r['adds_acc']:<9.2f} "
-                  f"{err * 100:<8.2f} {r['mean_2d_px']:<7.1f} "
+                  f"{err * 100:<8.2f} {px_s:<7} "
                   f"{r['mean_iou']:<6.3f} "
                   f"{r['n_detected']}/{r['n_eval']}")
     graded = [r["adds_acc"] if r["symmetric"] else r["add_acc"]
@@ -349,14 +402,33 @@ def run_sweep(object_names=("cube", "prism", "lwedge"), n_frames=800,
             "all_pass_085": bool(all(a >= 0.85 for a in graded))}
 
 
+def json_sanitize(x):
+    """Replace non-finite floats with None so --out_json emits strict
+    JSON (json.dump would write the non-standard `Infinity` token for
+    the no-detection sentinel float('inf'))."""
+    if isinstance(x, dict):
+        return {k: json_sanitize(v) for k, v in x.items()}
+    if isinstance(x, (list, tuple)):
+        return [json_sanitize(v) for v in x]
+    if isinstance(x, float) and not np.isfinite(x):
+        return None
+    return x
+
+
 def main(argv=None):
     from betapose_tpu.core.compile_cache import enable_compile_cache
     enable_compile_cache()
     p = argparse.ArgumentParser()
-    p.add_argument("--objects", type=str, default="cube,prism,lwedge")
+    p.add_argument("--objects", type=str, default="all",
+                   help="comma list of objects.OBJECT_BUILDERS names, or "
+                        "'all' for the full 13-object roster")
     p.add_argument("--frames", type=int, default=800)
     p.add_argument("--eval_frames", type=int, default=16)
     p.add_argument("--yolo_iters", type=int, default=3000)
+    p.add_argument("--yolo_frames", type=int, default=None,
+                   help="detector pool size per object (default: all "
+                        "--frames; cap it for the 13-object run — see "
+                        "run_sweep)")
     p.add_argument("--kpd_iters", type=int, default=8000)
     p.add_argument("--kpd_finetune", type=int, default=3000)
     p.add_argument("--num_classes", type=int, default=15,
@@ -369,15 +441,18 @@ def main(argv=None):
     p.add_argument("--out_json", type=str, default=None,
                    help="write the per-object result table to this file")
     args = p.parse_args(argv)
-    out = run_sweep(object_names=tuple(args.objects.split(",")),
+    names = (tuple(objects_mod.OBJECT_BUILDERS) if args.objects == "all"
+             else tuple(args.objects.split(",")))
+    out = run_sweep(object_names=names,
                     n_frames=args.frames, n_eval=args.eval_frames,
                     yolo_iters=args.yolo_iters, kpd_iters=args.kpd_iters,
                     kpd_finetune_iters=args.kpd_finetune,
                     num_classes=args.num_classes, reso=args.reso,
                     params_dir=args.params_dir,
-                    train_precision=args.train_precision)
+                    train_precision=args.train_precision,
+                    yolo_frames=args.yolo_frames)
     if args.out_json:
-        json.dump(out, open(args.out_json, "w"), indent=1)
+        json.dump(json_sanitize(out), open(args.out_json, "w"), indent=1)
     return out
 
 

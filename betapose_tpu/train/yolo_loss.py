@@ -47,12 +47,18 @@ def _bce_from_logits(z, target):
 
 
 def head_loss(raw, anchors, all_anchors, num_classes, net_w, net_h,
-              truths, ignore_thresh=0.7):
+              truths, ignore_thresh=0.7, focal=False):
     """Loss of one yolo head.
 
     raw: [B, gh, gw, nA*(5+nC)] pre-activation conv output (NHWC).
     anchors: this head's (w,h) anchor pixel sizes; all_anchors: all 9.
     truths: [B, T, 5] normalized (x,y,w,h,cls), x==0 padding.
+    focal: the cfg's focal_loss knob (parser.c:284) — class deltas use
+    darknet's focal formula (`delta_yolo_class`, yolo_layer.c:121-138):
+    alpha = 0.5, pt = p_target + 1e-15, every class entry's plain delta
+    multiplied by alpha * -(1-pt)(2·pt·ln(pt) + pt - 1).  darknet never
+    differentiates through that multiplier (it IS the hand-written
+    gradient), so it enters here under stop_gradient.
     Returns (scalar loss, metrics dict).
     """
     b, gh, gw, _ = raw.shape
@@ -160,18 +166,50 @@ def head_loss(raw, anchors, all_anchors, num_classes, net_w, net_h,
         + 0.5 * (z_w - t_w) ** 2 + 0.5 * (z_h - t_h) ** 2))
     obj_pos_loss = jnp.sum(m * _bce_from_logits(z_o, 1.0))
     cls_onehot = jax.nn.one_hot(gt_cls, nc)
-    # last writer carries the full one-hot BCE vector; each earlier
-    # colliding GT only flips ITS class entry's target 0 -> 1, worth
-    # BCE(z,1) - BCE(z,0) = -z (skipped when a later GT shares the class,
-    # so a union entry is counted exactly once)
-    cls_loss = jnp.sum(m[..., None] * _bce_from_logits(z_c, cls_onehot))
-    m_flip = (assign & ~is_last & ~cls_dup).astype(jnp.float32)
     # mode="clip": padded/skipped slots may carry class >= nc (masked out
-    # by m_flip, but the default fill-mode gather would return NaN and
+    # below, but the default fill-mode gather would return NaN and
     # 0 * NaN poisons the sum)
     z_own = jnp.take_along_axis(z_c, gt_cls[..., None], axis=-1,
                                 mode="clip")[..., 0]
-    cls_loss = cls_loss + jnp.sum(m_flip * (-z_own))
+    if not focal:
+        # last writer carries the full one-hot BCE vector; each earlier
+        # colliding GT only flips ITS class entry's target 0 -> 1, worth
+        # BCE(z,1) - BCE(z,0) = -z (skipped when a later GT shares the
+        # class, so a union entry is counted exactly once)
+        cls_loss = jnp.sum(m[..., None] * _bce_from_logits(z_c, cls_onehot))
+        m_flip = (assign & ~is_last & ~cls_dup).astype(jnp.float32)
+        cls_loss = cls_loss + jnp.sum(m_flip * (-z_own))
+    else:
+        # focal collision semantics INVERT the attribution: the FIRST
+        # writer at a site finds no delta set and writes the focal-scaled
+        # full vector (every entry nonzero afterwards); every LATER
+        # colliding GT hits the already-set short-circuit
+        # (yolo_layer.c:115-119) and overwrites only ITS entry with the
+        # PLAIN delta 1 - p.  So: first writer -> focal BCE over all
+        # entries; each later writer's class entry (once per site+class;
+        # the short-circuit rewrite is idempotent) -> remove the first
+        # writer's focal term there, add plain BCE(z, 1).
+        earlier = t_idx[None, :] < t_idx[:, None]
+        is_first = assign & ~jnp.any(same_site & earlier[None], axis=2)
+        p_cls = jax.nn.sigmoid(z_c)
+        pt = jnp.take_along_axis(p_cls, gt_cls[..., None], axis=-1,
+                                 mode="clip")[..., 0] + 1e-15
+        grad_f = -(1.0 - pt) * (2.0 * pt * jnp.log(pt) + pt - 1.0)
+        w_f = 0.5 * jax.lax.stop_gradient(grad_f)      # alpha = 0.5
+        mf = is_first.astype(jnp.float32)
+        cls_loss = jnp.sum((mf * w_f)[..., None]
+                           * _bce_from_logits(z_c, cls_onehot))
+        flip_keep = (assign & ~is_first & ~cls_dup).astype(jnp.float32)
+        # the (unique) first writer at each flipper's site: its focal
+        # weight and whether its one-hot had the flipper's class set
+        first_sel = (same_site & is_first[:, None, :]).astype(jnp.float32)
+        wf_first = jnp.sum(first_sel * w_f[:, None, :], axis=2)
+        tgt_first = jnp.sum(
+            first_sel * (gt_cls[:, None, :] == gt_cls[:, :, None]),
+            axis=2)
+        cls_loss = cls_loss + jnp.sum(flip_keep * (
+            _bce_from_logits(z_own, 1.0)
+            - wf_first * _bce_from_logits(z_own, tgt_first)))
 
     # background objectness everywhere, minus the gradient already applied
     # at assigned sites (darknet overwrites delta at the assigned index).
@@ -489,7 +527,8 @@ def yolo_loss(spec, params, images, truths, net_w, net_h,
         raw = raw.astype(jnp.float32)   # head loss math always in f32
         if hs.kind == "yolo":
             li, m = head_loss(raw, hs.anchors, all_anchors, hs.num_classes,
-                              net_w, net_h, truths, hs.ignore_thresh)
+                              net_w, net_h, truths, hs.ignore_thresh,
+                              focal=hs.focal_loss)
         elif hs.kind == "region":
             li, m = region_head_loss(raw, hs, truths, seen=seen)
         else:

@@ -11,6 +11,11 @@ from betapose_tpu.tools import objects as objects_mod
 
 
 class TestObjectZoo:
+    def test_roster_is_thirteen(self):
+        """The sweep roster mirrors the reference's 13-object LineMod
+        protocol breadth (`annotate_keypoint.py:63`)."""
+        assert len(objects_mod.OBJECT_BUILDERS) == 13
+
     def test_builders(self):
         for name, build in objects_mod.OBJECT_BUILDERS.items():
             o = build(26)
@@ -18,54 +23,130 @@ class TestObjectZoo:
             assert o.keypoints.shape == (26, 3)
             assert o.vertices.shape[1] == 3
             assert len(o.faces) >= 12
-            assert 0.1 < o.diameter < 0.2
+            assert 0.05 < o.diameter < 0.2
             # keypoints lie on the surface (not swallowed by the union)
             assert not any(o.contains_interior(k) for k in o.keypoints)
-            # keypoints are spread: no two closer than 1 cm
+            # keypoints are spread: no two closer than 5 mm (thin bars
+            # like the slab's 9 mm half-thickness bound the separation)
             d = np.linalg.norm(o.keypoints[None] - o.keypoints[:, None],
                                axis=-1)
             np.fill_diagonal(d, 1.0)
-            assert d.min() > 0.01
+            assert d.min() > 0.005
 
-    def test_prism_vertex_set_symmetry(self):
-        """The prism's vertex set maps to itself EXACTLY under its
-        symmetry — the property ADD-S grading relies on."""
-        p = objects_mod.prism_object()
-        (S,) = p.symmetries
-        v = np.round(p.vertices, 9)
-        vs = np.round(p.vertices @ S.T, 9)
-        as_set = lambda a: set(map(tuple, a))
-        assert as_set(v) == as_set(vs)
+    def test_tiny_is_the_small_diameter_row(self):
+        ds = {n: b().diameter
+              for n, b in objects_mod.OBJECT_BUILDERS.items()}
+        assert min(ds, key=ds.get) == "tiny"
+        assert ds["tiny"] < 0.08
 
-    def test_prism_appearance_symmetry_exact(self):
-        """Rendering pose R and pose R·S produces the IDENTICAL image —
-        paired faces share colors and the renderer shades by face normal
-        only, so the ambiguity the symmetric tier grades is real, not
-        approximate."""
+    def test_vertex_set_symmetry(self):
+        """Each symmetric object's vertex set maps to itself EXACTLY
+        under every group element — the property ADD-S grading relies
+        on."""
+        for name in ("prism", "quad", "slab"):
+            o = objects_mod.OBJECT_BUILDERS[name]()
+            assert o.symmetries
+            as_set = lambda a: set(map(tuple, np.round(a, 9)))
+            for S in o.symmetries:
+                assert as_set(o.vertices) == as_set(o.vertices @ S.T), name
+
+    def test_appearance_symmetry_exact(self):
+        """Rendering pose R and pose R·S produces the IDENTICAL image for
+        every symmetry element of every symmetric object — paired faces
+        share colors and the renderer shades by face normal only, so the
+        ambiguity the symmetric tiers grade is real, not approximate."""
         from betapose_tpu.tools.selftest import CAM_K
         from betapose_tpu.geometry.renderer import Renderer
-        p = objects_mod.prism_object()
-        (S,) = p.symmetries
         rng = np.random.default_rng(3)
-        A = np.linalg.qr(rng.standard_normal((3, 3)))[0]
-        if np.linalg.det(A) < 0:
-            A[:, 0] *= -1
-        pose = np.eye(4)
-        pose[:3, :3] = A
-        pose[:3, 3] = [0.02, -0.01, 0.5]
-        imgs = []
-        for R in (A, A @ S):
-            pose[:3, :3] = R
-            r = Renderer(size=(640, 480), cam=CAM_K)
-            r.draw_model(p, pose)
-            rgb, depth = r.finish()
-            imgs.append((rgb, depth))
-        np.testing.assert_allclose(imgs[0][0], imgs[1][0], atol=1e-6)
-        np.testing.assert_allclose(imgs[0][1], imgs[1][1], atol=1e-6)
+        for name in ("prism", "quad", "slab"):
+            o = objects_mod.OBJECT_BUILDERS[name]()
+            A = np.linalg.qr(rng.standard_normal((3, 3)))[0]
+            if np.linalg.det(A) < 0:
+                A[:, 0] *= -1
+            for S in o.symmetries:
+                imgs = []
+                for R in (A, A @ S):
+                    pose = np.eye(4)
+                    pose[:3, :3] = R
+                    pose[:3, 3] = [0.02, -0.01, 0.5]
+                    r = Renderer(size=(640, 480), cam=CAM_K)
+                    r.draw_model(o, pose)
+                    rgb, depth = r.finish()
+                    imgs.append((rgb, depth))
+                np.testing.assert_allclose(imgs[0][0], imgs[1][0],
+                                           atol=1e-6)
+                np.testing.assert_allclose(imgs[0][1], imgs[1][1],
+                                           atol=1e-6)
 
-    def test_cube_and_lwedge_not_flagged_symmetric(self):
-        assert objects_mod.cube_object().symmetries == ()
-        assert objects_mod.lwedge_object().symmetries == ()
+    def test_asymmetric_objects_not_flagged_symmetric(self):
+        for name in ("cube", "lwedge", "tower", "tiny", "ring", "cross",
+                     "steps", "tbar", "checker", "dumbbell"):
+            assert objects_mod.OBJECT_BUILDERS[name]().symmetries == ()
+
+    def test_quad_generator_closes_to_full_group(self):
+        """quad is built from ONE 90° generator; MeshObject must close it
+        to {90°, 180°, 270°} so canonicalization and the min-over-modes
+        loss see every mode (the generator-only bug class)."""
+        q = objects_mod.quad_object()
+        assert len(q.symmetries) == 3
+        assert len(q.symmetry_perms) == 3
+        # the three elements are 90/180/270 about z, in some order
+        angles = sorted(round(np.degrees(np.arctan2(S[1, 0], S[0, 0])))
+                        % 360 for S in q.symmetries)
+        assert angles == [90, 180, 270]
+        for S, perm in zip(q.symmetries, q.symmetry_perms):
+            assert sorted(perm.tolist()) == list(range(26))
+            np.testing.assert_allclose(q.keypoints @ S.T,
+                                       q.keypoints[perm], atol=1e-9)
+
+    def test_quad_canonicalization_collapses_all_four_modes(self):
+        rng = np.random.default_rng(7)
+        q = objects_mod.quad_object()
+        for _ in range(20):
+            qv = rng.standard_normal(4)
+            w, x, y, z = qv / np.linalg.norm(qv)
+            R = np.array([
+                [1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                 2 * (x * z + w * y)],
+                [2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                 2 * (y * z - w * x)],
+                [2 * (x * z - w * y), 2 * (y * z + w * x),
+                 1 - 2 * (x * x + y * y)]])
+            pose = np.eye(4)
+            pose[:3, :3] = R
+            canon = [objects_mod.canonicalize_pose(pose, q.symmetries)]
+            for S in q.symmetries:
+                p2 = pose.copy()
+                p2[:3, :3] = R @ S
+                canon.append(objects_mod.canonicalize_pose(
+                    p2, q.symmetries))
+            for c in canon[1:]:
+                np.testing.assert_allclose(c, canon[0], atol=1e-12)
+
+    def test_checker_faces_carry_two_colors(self):
+        """The textured variant subdivides each face into a 2x2 checker
+        of two alternating colors (within-face appearance structure)."""
+        c = objects_mod.checker_object()
+        assert len(c.vertices) == 96          # 6 faces x 4 sub-quads x 4
+        # group sub-quads by face normal axis: each face shows 2 colors
+        v = c.vertices.reshape(24, 4, 3)
+        col = c.colors.reshape(24, 4, 3)
+        for axis in range(3):
+            for sign in (-1, 1):
+                on_face = [i for i in range(24)
+                           if np.allclose(v[i][:, axis],
+                                          sign * 0.035)]
+                assert len(on_face) == 4
+                face_cols = {tuple(np.round(col[i][0], 6))
+                             for i in on_face}
+                assert len(face_cols) == 2
+
+    def test_ring_has_a_through_hole(self):
+        """Genus-1: the frame's center is empty (background visible
+        through it), yet points on the bars are interior."""
+        r = objects_mod.ring_object()
+        assert not r.contains_interior(np.zeros(3))
+        assert r.contains_interior(np.array([0.0, 0.0425, 0.0]))
 
 
 class TestSymmetryPerms:
@@ -272,6 +353,20 @@ class TestRenderSequence:
         np.testing.assert_allclose(kps[0], kps[1], atol=1e-9)
 
 
+def test_json_sanitize_strips_non_finite():
+    """--out_json must emit strict JSON: float('inf') sentinels (object
+    never detected) become null, not the non-standard `Infinity`."""
+    import json
+    from betapose_tpu.tools.sweep import json_sanitize
+    out = json_sanitize({"rows": [{"mean_add_m": float("inf"),
+                                   "acc": 0.5,
+                                   "nested": (float("nan"), 1)}]})
+    s = json.dumps(out)
+    assert "Infinity" not in s and "NaN" not in s
+    assert json.loads(s)["rows"][0]["mean_add_m"] is None
+    assert json.loads(s)["rows"][0]["nested"] == [None, 1]
+
+
 @pytest.mark.slow
 def test_sweep_tiny_smoke(tmp_path):
     """Wiring smoke at toy scale: 3 objects, shared 3-class detector,
@@ -281,7 +376,7 @@ def test_sweep_tiny_smoke(tmp_path):
     kw = dict(object_names=("cube", "prism", "lwedge"), n_frames=6,
               n_eval=2, yolo_iters=2, kpd_iters=2, kpd_finetune_iters=0,
               kpd_batch=4, yolo_batch=4, reso=96, inp_h=64, inp_w=32,
-              n_kp=8, num_classes=3, left_keypoints=6,
+              n_kp=8, num_classes=3, left_keypoints=6, yolo_frames=4,
               params_dir=str(tmp_path / "cache"), verbose=False)
     out = run_sweep(**kw)
     rows = out["per_object"]

@@ -389,6 +389,152 @@ class TestCollisionSemantics:
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+class TestFocalLoss:
+    """focal_loss cfg knob (parser.c:284): delta_yolo_class's focal
+    branch (`yolo_layer.c:121-138`) — numpy C-transcription gradient
+    oracle, collision semantics included (the FIRST writer's focal-scaled
+    full vector + later writers' PLAIN short-circuit flips)."""
+
+    @staticmethod
+    def _darknet_grad_focal(raw, anchors, all_anchors, nc, net_w, net_h,
+                            truths, ignore_thresh=0.7):
+        def sig(v):
+            return 1.0 / (1.0 + np.exp(-v))
+
+        b, gh, gw, _ = raw.shape
+        na = len(anchors)
+        x = raw.reshape(b, gh, gw, na, 5 + nc)
+        delta = np.zeros_like(x)
+        all_anc = np.asarray(all_anchors, np.float64)
+
+        def iou_xywh(b1, b2):
+            l1, r1 = b1[0] - b1[2] / 2, b1[0] + b1[2] / 2
+            t1, d1 = b1[1] - b1[3] / 2, b1[1] + b1[3] / 2
+            l2, r2 = b2[0] - b2[2] / 2, b2[0] + b2[2] / 2
+            t2, d2 = b2[1] - b2[3] / 2, b2[1] + b2[3] / 2
+            iw = max(0.0, min(r1, r2) - max(l1, l2))
+            ih = max(0.0, min(d1, d2) - max(t1, t2))
+            inter = iw * ih
+            union = b1[2] * b1[3] + b2[2] * b2[3] - inter
+            return inter / max(union, 1e-12)
+
+        for bi in range(b):
+            gts = [t for t in truths[bi] if t[0] != 0]
+            for n in range(na):
+                for j in range(gh):
+                    for i in range(gw):
+                        px = (sig(x[bi, j, i, n, 0]) + i) / gw
+                        py = (sig(x[bi, j, i, n, 1]) + j) / gh
+                        pw = np.exp(x[bi, j, i, n, 2]) * anchors[n][0] / net_w
+                        ph = np.exp(x[bi, j, i, n, 3]) * anchors[n][1] / net_h
+                        best = max((iou_xywh((px, py, pw, ph), t[:4])
+                                    for t in gts), default=0.0)
+                        if best <= ignore_thresh:
+                            delta[bi, j, i, n, 4] = 0.0 - sig(
+                                x[bi, j, i, n, 4])
+            for t in gts:
+                tx, ty, tw, th, tcls = t
+                shape_ious = [iou_xywh((0, 0, tw, th),
+                                       (0, 0, aw / net_w, ah / net_h))
+                              for aw, ah in all_anc]
+                best_n = int(np.argmax(shape_ious))
+                local = [tuple(a) for a in anchors]
+                if tuple(all_anc[best_n]) not in local:
+                    continue
+                n = local.index(tuple(all_anc[best_n]))
+                i, j = int(tx * gw), int(ty * gh)
+                scale = 2.0 - tw * th
+                delta[bi, j, i, n, 0] = scale * ((tx * gw - i)
+                                                 - sig(x[bi, j, i, n, 0]))
+                delta[bi, j, i, n, 1] = scale * ((ty * gh - j)
+                                                 - sig(x[bi, j, i, n, 1]))
+                delta[bi, j, i, n, 2] = scale * (
+                    np.log(tw * net_w / all_anc[best_n][0])
+                    - x[bi, j, i, n, 2])
+                delta[bi, j, i, n, 3] = scale * (
+                    np.log(th * net_h / all_anc[best_n][1])
+                    - x[bi, j, i, n, 3])
+                delta[bi, j, i, n, 4] = 1.0 - sig(x[bi, j, i, n, 4])
+                # delta_yolo_class focal path (yolo_layer.c:112-138):
+                # the already-set short-circuit (exact C check: only the
+                # truth class's entry) comes FIRST, so collisions get the
+                # plain 1 - p overwrite, never re-focaled
+                ci = int(tcls)
+                if delta[bi, j, i, n, 5 + ci] != 0.0:
+                    delta[bi, j, i, n, 5 + ci] = 1.0 - sig(
+                        x[bi, j, i, n, 5 + ci])
+                else:
+                    alpha = 0.5
+                    pt = sig(x[bi, j, i, n, 5 + ci]) + 1e-15
+                    grad = -(1 - pt) * (2 * pt * np.log(pt) + pt - 1)
+                    for k in range(nc):
+                        delta[bi, j, i, n, 5 + k] = (
+                            ((1.0 if k == ci else 0.0)
+                             - sig(x[bi, j, i, n, 5 + k])) * alpha * grad)
+        return (-delta).reshape(raw.shape)
+
+    def _compare(self, truths_np, seed=0):
+        rng = np.random.default_rng(seed)
+        gs, na, nc, net = 4, 2, 3, 32
+        anchors = [(8.0, 8.0), (16.0, 16.0)]
+        raw = rng.standard_normal((1, gs, gs, na * (5 + nc))).astype(
+            np.float32) * 0.5
+        want = self._darknet_grad_focal(raw.astype(np.float64), anchors,
+                                        anchors, nc, net, net, truths_np)
+        got = np.asarray(jax.grad(
+            lambda r: head_loss(r, anchors, anchors, nc, net, net,
+                                jnp.asarray(truths_np), focal=True)[0]
+        )(jnp.asarray(raw)))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_single_gt(self):
+        truths = np.zeros((1, 4, 5), np.float32)
+        truths[0, 0] = [0.3, 0.3, 8 / 32, 8 / 32, 1]
+        self._compare(truths)
+
+    def test_two_gts_separate_cells(self):
+        truths = np.zeros((1, 4, 5), np.float32)
+        truths[0, 0] = [0.3, 0.3, 8 / 32, 8 / 32, 0]
+        truths[0, 1] = [0.8, 0.8, 17 / 32, 15 / 32, 2]
+        self._compare(truths)
+
+    def test_collision_different_class(self):
+        """Later writer's entry reverts to the PLAIN 1 - p delta while
+        the first writer's focal vector persists elsewhere."""
+        truths = np.zeros((1, 4, 5), np.float32)
+        truths[0, 0] = [0.30, 0.30, 8 / 32, 8 / 32, 0]
+        truths[0, 1] = [0.33, 0.34, 9 / 32, 8.5 / 32, 1]
+        self._compare(truths)
+
+    def test_collision_three_with_class_dup(self):
+        truths = np.zeros((1, 4, 5), np.float32)
+        truths[0, 0] = [0.30, 0.30, 8 / 32, 8 / 32, 0]
+        truths[0, 1] = [0.33, 0.34, 9 / 32, 8.5 / 32, 1]
+        truths[0, 2] = [0.31, 0.32, 7.5 / 32, 8 / 32, 0]
+        self._compare(truths)
+
+    def test_collision_same_class_twice(self):
+        """Same class collides with itself: the short-circuit rewrite is
+        idempotent (counted once)."""
+        truths = np.zeros((1, 4, 5), np.float32)
+        truths[0, 0] = [0.30, 0.30, 8 / 32, 8 / 32, 2]
+        truths[0, 1] = [0.33, 0.34, 9 / 32, 8.5 / 32, 2]
+        self._compare(truths)
+
+    def test_cfg_knob_parsed(self):
+        """focal_loss=1 in a [yolo] block reaches the LayerSpec
+        (parser.c:284 option_find_int_quiet default 0)."""
+        from betapose_tpu.models import yolov3 as yolo_mod
+        from betapose_tpu.models.darknet_cfg import make_yolov3_cfg
+        cfg = make_yolov3_cfg(num_classes=2, width=96, height=96)
+        spec = yolo_mod.build_spec(cfg)
+        assert all(not spec.layers[i].focal_loss for i in spec.yolo_idxs)
+        cfg_f = cfg.replace("ignore_thresh = .7",
+                            "ignore_thresh = .7\nfocal_loss=1")
+        spec_f = yolo_mod.build_spec(cfg_f)
+        assert all(spec_f.layers[i].focal_loss for i in spec_f.yolo_idxs)
+
+
 class TestResumeLrFastForward:
     """Resume must continue the LR schedule mid-curve (darknet's
     get_current_rate reads net.seen), not restart burn-in/steps from 0."""
