@@ -147,3 +147,38 @@ def make_yolov3_cfg(num_classes: int = 1, width: int = 416, height: int = 416,
     head(256, [0, 1, 2])
 
     return "\n".join(L)
+
+
+def make_rnn_cfg(inputs: int = 256, hidden: int = 256, n_layers: int = 2,
+                 batch: int = 64, time_steps: int = 16,
+                 max_batches: int = 2000, lr: float = 0.1,
+                 batch_normalize: bool = False) -> str:
+    """Emit a char-RNN cfg in the shape of darknet's rnn.cfg family
+    (the fork ships none — `darknet.c:351` dispatches `rnn` but cfg/
+    carries only the two linemod detector cfgs): flat one-hot input,
+    stacked [rnn] layers, a [connected] projection back to the symbol
+    space, [softmax] + [cost sse].  batch = streams * time_steps
+    (rnn.c:165 `streams = batch/steps`).  batch_normalize defaults OFF:
+    the TPU trainer refuses BN'd recurrent sublayers (see
+    tools/char_rnn.py deviations)."""
+    bn = "batch_normalize=1" if batch_normalize else ""
+    L = [
+        "[net]",
+        f"inputs={inputs}",
+        f"batch={batch}",
+        f"time_steps={time_steps}",
+        "subdivisions=1",
+        "momentum=0.9",
+        "decay=0.001",
+        f"learning_rate={lr}",
+        "policy=constant",
+        f"max_batches={max_batches}",
+        "",
+    ]
+    for _ in range(n_layers):
+        L += ["[rnn]", bn, f"output={hidden}", f"hidden={hidden}",
+              "activation=tanh", "logistic=1", ""]
+    L += ["[connected]", f"output={inputs}", "activation=linear", "",
+          "[softmax]", "",
+          "[cost]", "type=sse", ""]
+    return "\n".join(ln for ln in L if ln is not None)

@@ -140,6 +140,17 @@ def build_spec(cfg) -> NetworkSpec:
         cur_w = int(net_info.get("width", 0)) or None
     except (TypeError, ValueError):
         cur_h = cur_w = None
+    if cur_h is None and cur_w is None and "inputs" in net_info:
+        # darknet's flat-input shortcut (parse_net_options: net.inputs
+        # defaults to h*w*c; char-rnn cfgs give inputs=256 with no
+        # width/height) — equivalent to a 1x1 spatial grid of `inputs`
+        # channels
+        try:
+            in_ch = int(net_info["inputs"])
+            out_channels[0] = in_ch
+            cur_h = cur_w = 1
+        except (TypeError, ValueError):
+            pass
     dims = [(cur_h, cur_w)]  # dims[i+1] = (h, w) of layer i's output
     needed = set()
     for i, b in enumerate(blocks):

@@ -840,6 +840,92 @@ def _stats_connected(p, outputs):
     _print_statistics(w, "Weights ")
 
 
+def _save_png_01(path, img01):
+    """save_image_png: float [0,1] (H,W,3 or H,W) -> PNG."""
+    import cv2
+    import numpy as np
+    arr = np.clip(np.asarray(img01) * 255.0, 0, 255).astype(np.uint8)
+    if arr.ndim == 3:
+        arr = arr[..., ::-1]                      # RGB -> BGR for cv2
+    cv2.imwrite(path, arr)
+
+
+def cmd_visualize(cfg, weights=None, out_dir="."):
+    """`darknet visualize <cfg> [weights]` (darknet.c:339-349 ->
+    visualize_network, network.c:512): per conv layer, the filter-weight
+    collage — darknet's show_images both DISPLAYS and SAVES the
+    normalized collage as "<window>.png" (image.c:1988-2004), so the
+    headless analog keeps the save half: "Layer <i>.png" per conv layer.
+    Documented deviation: filters tile into a near-square grid (darknet
+    stacks them vertically via collapse_images_vert); 3-channel filters
+    render in color, deeper ones as the channel mean."""
+    import os
+    import numpy as np
+    spec, params, _ = _load_model(cfg, weights)
+    saved = []
+    for i, l in enumerate(spec.layers):
+        if l.kind != "conv":
+            continue
+        w = np.asarray(params[i]["w"], np.float32)     # HWIO
+        k, _, cin, n = w.shape
+        if cin == 3:
+            tiles = w.transpose(3, 0, 1, 2)            # [n,k,k,3]
+        else:
+            tiles = w.mean(axis=2).transpose(2, 0, 1)[..., None] \
+                .repeat(3, -1)                         # [n,k,k,3]
+        cols = int(np.ceil(np.sqrt(n)))
+        rows = int(np.ceil(n / cols))
+        grid = np.zeros((rows * (k + 1) + 1, cols * (k + 1) + 1, 3),
+                        np.float32)
+        for f in range(n):
+            r, c = divmod(f, cols)
+            grid[1 + r * (k + 1):1 + r * (k + 1) + k,
+                 1 + c * (k + 1):1 + c * (k + 1) + k] = tiles[f]
+        lo, hi = grid.min(), grid.max()                # normalize_image
+        grid = (grid - lo) / max(hi - lo, 1e-12)
+        path = os.path.join(out_dir, f"Layer {i}.png")
+        _save_png_01(path, grid)
+        saved.append(path)
+        print(f"Layer {i}: {n} {k}x{k}x{cin} filters -> {path}")
+    return saved
+
+
+def cmd_imtest(image_path, out_dir="."):
+    """`darknet imtest <image>` (darknet.c:455 -> image.c test_resize):
+    prints the L2 norm and shows Original / Gray / four fixed HSV
+    distortions (hue, sat, exp) = (.1,1.5,1.5), (-.1,.667,.667),
+    (.1,1.5,.667), (.1,.667,1.5) — saved as PNGs headlessly (the
+    interactive random-augment loop after them is display-only)."""
+    import os
+    import numpy as np
+    import jax.numpy as jnp
+    from betapose_tpu.data.loader import imread_rgb
+    from betapose_tpu.train.yolo_train import _rgb_to_hsv, _hsv_to_rgb
+    im = imread_rgb(image_path).astype(np.float32) / 255.0
+    print(f"L2 Norm: {float(np.sqrt((im ** 2).sum())):f}")
+    gray = im @ np.array([0.299, 0.587, 0.114], np.float32)
+
+    def distort(dhue, dsat, dexp):
+        hsv = _rgb_to_hsv(jnp.asarray(im))
+        h = (hsv[..., 0] + dhue) % 1.0
+        s = jnp.clip(hsv[..., 1] * dsat, 0.0, 1.0)
+        v = jnp.clip(hsv[..., 2] * dexp, 0.0, 1.0)
+        return np.asarray(_hsv_to_rgb(jnp.stack([h, s, v], axis=-1)))
+
+    out = {"Original": im, "Gray": gray,
+           "C1": distort(0.1, 1.5, 1.5),
+           "C2": distort(-0.1, 2 / 3, 2 / 3),
+           "C3": distort(0.1, 1.5, 2 / 3),
+           "C4": distort(0.1, 2 / 3, 1.5)}
+    saved = []
+    for name, img in out.items():
+        path = os.path.join(out_dir, f"{name}.png")
+        _save_png_01(path, img)
+        saved.append(path)
+        print(f"saved {path}")
+    return saved
+
+
 def cmd_speed(cfg, tics=1000):
     """`darknet speed <cfg> [tics]` (darknet.c speed():93): batch-1
     forward timing over `tics` evals of a blank net-sized image."""
@@ -899,12 +985,14 @@ def main(argv=None):
               "reset": cmd_reset, "denormalize": cmd_denormalize,
               "normalize": cmd_normalize, "oneoff": cmd_oneoff}[argv[0]]
         return fn(argv[1], argv[2], argv[3])
-    if argv and argv[0] in ("visualize", "imtest", "mkimg"):
-        # darknet.c:455-457 / image.c test_resize: interactive OpenCV
-        # windows (filter visualization / resize demo) — GUI-bound with no
-        # headless output; deliberately not ported (VERDICT r3 Missing #3)
-        print(f"{argv[0]}: GUI-only darknet verb (opens interactive OpenCV "
-              "windows); not supported in the headless TPU CLI")
+    if argv and argv[0] == "visualize":
+        return cmd_visualize(argv[1], argv[2] if len(argv) > 2 else None)
+    if argv and argv[0] == "imtest":
+        return cmd_imtest(argv[1])
+    if argv and argv[0] == "mkimg":
+        # not in this fork's dispatch (darknet.c:453-460 has only
+        # visualize/imtest) — fall through to the reference's own error
+        print("Not an option: mkimg")
         return CliError(1)
     if argv and argv[0] == "statistics":
         return cmd_statistics(argv[1], argv[2])
@@ -912,7 +1000,10 @@ def main(argv=None):
         return cmd_speed(argv[1], int(argv[2]) if len(argv) > 2 else 1000)
     if argv and argv[0] == "ops":
         return cmd_ops(argv[1])
-    if len(argv) < 2 or argv[0] not in ("detector", "classifier"):
+    if argv and argv[0] == "nightmare":
+        from betapose_tpu.tools.nightmare import run_nightmare
+        return run_nightmare(argv[1:])
+    if len(argv) < 2 or argv[0] not in ("detector", "classifier", "rnn"):
         print(__doc__)
         return CliError(1)
     family = argv[0]
@@ -920,7 +1011,7 @@ def main(argv=None):
     # boolean flags take no value (darknet find_arg vs find_char_arg,
     # utils.c) — '-clear' mid-line must not swallow a positional, and a
     # value flag's argument must not leak into the positional list
-    BOOL_FLAGS = {"clear", "dont_show", "show"}
+    BOOL_FLAGS = {"clear", "dont_show", "show", "tokenized"}
     pos = []
     flags = {}
     i = 0
@@ -937,6 +1028,39 @@ def main(argv=None):
         else:
             pos.append(rest[i])
             i += 1
+
+    if family == "rnn":
+        # run_char_rnn (rnn.c:469-493) live sub-verbs; the Go-tactics
+        # variants (validtactic/generatetactic/vec) are scope-cut with
+        # the go.c family (PARITY.md §2.7)
+        from betapose_tpu.tools import char_rnn
+        cfg = pos[0] if pos else None
+        weights = pos[1] if len(pos) > 1 else None
+        if verb == "train":
+            return char_rnn.train_char_rnn(
+                cfg, weights,
+                filename=flags.get("file", "data/shakespeare.txt"),
+                clear="clear" in flags,
+                tokenized="tokenized" in flags,
+                backup=flags.get("backup", "backup"))
+        if verb == "generate":
+            return char_rnn.generate_char_rnn(
+                cfg, weights, num=int(flags.get("len", 1000)),
+                seed_text=flags.get("seed", "\n\n"),
+                temp=float(flags.get("temp", 0.7)),
+                rseed=int(flags.get("srand", 0)),
+                token_file=flags.get("tokens"))
+        if verb == "valid":
+            import sys as _sys
+            return char_rnn.valid_char_rnn(
+                cfg, weights, _sys.stdin.read(),
+                seed_text=flags.get("seed", "\n\n"))
+        if verb in ("validtactic", "generatetactic", "vec"):
+            print(f"rnn {verb}: Go-tactics data path — scope-cut with the "
+                  "go.c family (PARITY.md §2.7)")
+            return CliError(1)
+        print(f"unknown rnn verb {verb}")
+        return CliError(1)
 
     if family == "classifier":
         # run_classifier (classifier.c:1182-1235), live sub-verbs

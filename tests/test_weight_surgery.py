@@ -281,11 +281,53 @@ class TestOneoff:
             np.testing.assert_array_equal(np.asarray(got[0][k]),
                                           np.asarray(params[0][k]))
 
-    def test_gui_verbs_stub_with_message(self, capsys):
-        for verb in ("visualize", "imtest", "mkimg"):
-            rc = darknet_cli.main([verb, "x.cfg"])
-            assert isinstance(rc, darknet_cli.CliError)
-            assert "GUI-only" in capsys.readouterr().out
+    def test_visualize_writes_filter_pngs(self, net, tmp_path,
+                                          monkeypatch):
+        """Headless `visualize` (darknet.c:339 -> show_images save half,
+        image.c:2001): one normalized filter-collage PNG per conv
+        layer, named like darknet's "Layer <i>.png" windows."""
+        pytest.importorskip("cv2")
+        import cv2
+        spec, _, cfg_path, w_path, _ = net
+        monkeypatch.chdir(tmp_path)
+        saved = darknet_cli.main(["visualize", cfg_path, w_path])
+        conv_idx = [i for i, l in enumerate(spec.layers)
+                    if l.kind == "conv"]
+        assert len(saved) == len(conv_idx)
+        for i, path in zip(conv_idx, saved):
+            assert path.endswith(f"Layer {i}.png")
+            img = cv2.imread(path)
+            assert img is not None and img.size > 0
+            # normalize_image: collage spans the full [0,255] range
+            assert img.max() == 255 and img.min() == 0
+
+    def test_imtest_writes_distortion_pngs(self, tmp_path, monkeypatch,
+                                           capsys):
+        """Headless `imtest` (image.c test_resize): L2-norm print plus
+        Original/Gray/C1..C4 PNGs (the four fixed HSV distortions)."""
+        pytest.importorskip("cv2")
+        import cv2
+        rng = np.random.default_rng(0)
+        src = str(tmp_path / "in.png")
+        cv2.imwrite(src, rng.integers(0, 255, (32, 40, 3),
+                                      dtype=np.uint8))
+        monkeypatch.chdir(tmp_path)
+        saved = darknet_cli.main(["imtest", src])
+        assert "L2 Norm:" in capsys.readouterr().out
+        names = {p.split("/")[-1] for p in saved}
+        assert names == {"Original.png", "Gray.png", "C1.png", "C2.png",
+                         "C3.png", "C4.png"}
+        orig = cv2.imread(str(tmp_path / "Original.png"))
+        c1 = cv2.imread(str(tmp_path / "C1.png"))
+        assert orig.shape == c1.shape
+        assert np.abs(orig.astype(int) - c1.astype(int)).max() > 10
+
+    def test_mkimg_not_an_option(self, capsys):
+        """This fork's dispatch has no mkimg (darknet.c:453-460) — the
+        reference prints "Not an option"."""
+        rc = darknet_cli.main(["mkimg", "x.cfg"])
+        assert isinstance(rc, darknet_cli.CliError)
+        assert "Not an option" in capsys.readouterr().out
 
 
 class TestDiagnostics:
