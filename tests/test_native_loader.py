@@ -185,3 +185,34 @@ class TestMakeLoader:
     def test_unknown_mode_rejected(self, img_dir):
         with pytest.raises(ValueError):
             make_loader(img_dir, 4, mode="warp")
+
+
+class TestFeedScalingProbe:
+    """tools/probe_feed.py — the host-feed worker-scaling measurement
+    (VERDICT r4 #7; reference feeds from 16 pthreads, data.c:912-949)."""
+
+    def test_measure_scaling_native(self, img_dir):
+        from betapose_tpu.tools.probe_feed import measure_scaling
+        pytest.importorskip("cv2")
+        curve = measure_scaling(img_dir, 4, [1, 2], "native")
+        assert set(curve) == {1, 2}
+        assert all(v > 0 for v in curve.values())
+
+    def test_measure_scaling_threads_and_unknown(self, img_dir):
+        from betapose_tpu.tools.probe_feed import measure_scaling
+        curve = measure_scaling(img_dir, 4, [1], "threads")
+        assert curve[1] > 0
+        with pytest.raises(ValueError):
+            measure_scaling(img_dir, 4, [1], "warp")
+
+    def test_run_probe_json_shape(self):
+        from betapose_tpu.tools.probe_feed import run_probe
+        import json
+        res = run_probe(workers_list=(1, 2), frames=8, batch=4,
+                        loaders=("native", "threads"))
+        json.dumps(res)                       # strictly serializable
+        assert res["host_cpus"] >= 1
+        assert "threads" in res["curves"]
+        assert res["best_fps"] > 0
+        for curve in res["curves"].values():
+            assert set(curve) == {"1", "2"}

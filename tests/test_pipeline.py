@@ -479,3 +479,107 @@ class TestMultiCandidate:
         }
         out = pipe._host_pose_nms(cand)
         assert not bool(np.asarray(out["pose_valid"])[0])
+
+
+class TestPreprocParity:
+    """The letterbox-vs-stretch question (VERDICT r4 #6), pinned at the
+    pipeline level.
+
+    Reference facts (file:line):
+    - the detector TRAINS on plain stretch: `train_YOLO/src/data.c:850`
+      resize_image(cropped, w, h) — no letterbox at train time;
+    - the eval IMAGE path letterboxes the input (`yolo/preprocess.py:19-44`
+      prep_image -> letterbox_image) but back-maps boxes with STRETCH
+      ratios w/reso, h/reso (`dataloader.py:355-364`) — the correct
+      letterbox inverse sits commented out directly below (:366-379);
+    - the VIDEO path uses the correct letterbox inverse
+      (`dataloader.py:552-558`).
+
+    So the reference's headline eval path is geometrically inconsistent
+    (letterbox in, stretch out) — a train/test mismatch whose error
+    cancels exactly at the image center and grows linearly off-center.
+    This framework's `preproc` modes are each SELF-consistent; `stretch`
+    (the default) matches both the training geometry and what the live
+    back-mapping assumes.  These tests pin all three statements.
+    """
+
+    def _det_stage(self, preproc):
+        from betapose_tpu.eval.pipeline import make_det_stage, PipelineConfig
+        spec = yolo_mod.build_spec(TINY_YOLO_CFG)
+        params = yolo_mod.fold_bn(
+            spec, yolo_mod.init_params(jax.random.PRNGKey(0), spec))
+        cfg = PipelineConfig(reso=96, inp_h=64, inp_w=48, out_h=16,
+                             out_w=12, n_kp=6, confidence=0.0,
+                             preproc=preproc, compute_dtype="float32")
+        return spec, params, jax.jit(make_det_stage(spec, cfg)), cfg
+
+    def test_letterbox_path_self_consistent(self):
+        """Feeding the pipeline an anisotropic frame under
+        preproc='letterbox' must equal hand-letterboxing the frame,
+        detecting on the square canvas, and applying the reference's
+        CORRECT inverse (the dataloader.py:552-558 video formula),
+        transcribed here independently."""
+        spec, params, det_lb, cfg = self._det_stage("letterbox")
+        _, _, det_sq, _ = self._det_stage("stretch")
+        rng = np.random.default_rng(3)
+        frame = rng.integers(0, 255, (1, 60, 96, 3), dtype=np.uint8)
+
+        out_lb = det_lb(params, jnp.asarray(frame))
+        box_lb = np.asarray(out_lb["boxes"])[0]
+
+        # hand path: letterbox to the square canvas, detect with the
+        # stretch stage (resize reso->reso is identity), map back
+        canvas = np.asarray(image_ops.letterbox(
+            jnp.asarray(frame, jnp.float32), cfg.reso, cfg.reso))
+        out_sq = det_sq(params, jnp.asarray(canvas))
+        box_sq = np.asarray(out_sq["boxes"])[0]
+        # boxes from the square canvas come back scaled by w0/reso = 1
+        w0, h0 = 96, 60
+        scale = min(cfg.reso / w0, cfg.reso / h0)
+        off_x = (cfg.reso - np.floor(w0 * scale)) // 2
+        off_y = (cfg.reso - np.floor(h0 * scale)) // 2
+        want = np.array([(box_sq[0] - off_x) / scale,
+                         (box_sq[1] - off_y) / scale,
+                         (box_sq[2] - off_x) / scale,
+                         (box_sq[3] - off_y) / scale])
+        np.testing.assert_allclose(box_lb, want, rtol=1e-4, atol=1e-3)
+
+    def test_stretch_path_self_consistent(self):
+        """Stretch in -> stretch ratios out: a box at canvas coords maps
+        back by w0/reso, h0/reso exactly (the reference's live
+        dataloader.py:355-364 mapping, correct when the input really was
+        stretched)."""
+        spec, params, det_st, cfg = self._det_stage("stretch")
+        _, _, det_sq, _ = self._det_stage("stretch")
+        rng = np.random.default_rng(4)
+        frame = rng.integers(0, 255, (1, 60, 96, 3), dtype=np.uint8)
+        out_st = det_st(params, jnp.asarray(frame))
+        box_st = np.asarray(out_st["boxes"])[0]
+
+        canvas = np.asarray(image_ops.resize_bilinear_matmul(
+            jnp.asarray(frame, jnp.float32), cfg.reso, cfg.reso))
+        out_sq = det_sq(params, jnp.asarray(canvas))
+        box_sq = np.asarray(out_sq["boxes"])[0]
+        want = box_sq * np.array([96 / cfg.reso, 60 / cfg.reso,
+                                  96 / cfg.reso, 60 / cfg.reso])
+        np.testing.assert_allclose(box_st, want, rtol=1e-4, atol=1e-3)
+
+    def test_reference_image_path_combination_distorts_off_center(self):
+        """The reference combination (letterbox in, stretch map out) as
+        pure geometry: a ground-truth point at original-image y maps to
+        y' = (off_y + scale*y) * h0/reso.  At the vertical center the
+        error is ~0 (the cancellation that lets the reference work);
+        off-center it grows linearly.  640x480 @ reso 416: center error
+        < 1 px, y=100 error = +35 px.  This is why `stretch` (train-time
+        geometry, data.c:850) is this framework's default rather than a
+        faithful transcription of the eval path's mismatch."""
+        w0, h0, reso = 640.0, 480.0, 416.0
+        scale = min(reso / w0, reso / h0)
+        off_y = (reso - np.floor(h0 * scale)) // 2
+
+        def ref_roundtrip(y):
+            return (off_y + scale * y) * h0 / reso
+
+        assert abs(ref_roundtrip(240.0) - 240.0) < 1.0
+        assert abs(ref_roundtrip(100.0) - 100.0) > 30.0
+        assert abs(ref_roundtrip(380.0) - 380.0) > 30.0
