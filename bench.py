@@ -210,6 +210,18 @@ def main():
         host_feed_mode = max(feed_modes, key=feed_modes.get)
         host_feed_fps = feed_modes[host_feed_mode]
 
+        # worker-scaling curve for the native ring loader (VERDICT r4 #7:
+        # measure, don't assume — on a 1-core box the curve is flat and
+        # that IS the per-core decode ceiling; see tools/probe_feed.py
+        # for the expected many-core shape)
+        host_feed_scaling = None
+        if decode_native_fps is not None:
+            from betapose_tpu.tools.probe_feed import measure_scaling
+            host_feed_scaling = {
+                str(k): round(v, 2)
+                for k, v in measure_scaling(
+                    paths, batch, [1, 2, 4, pworkers], "native").items()}
+
         # one warm pass so tail-batch shapes (if any) are compiled
         for fr in PrefetchLoader(paths[:batch], batch):
             jax.device_get(pipe(fr)["cam_t"])
@@ -255,6 +267,7 @@ def main():
         "host_decode_native_fps": (round(decode_native_fps, 2)
                                    if decode_native_fps else None),
         "host_loader_workers": pworkers,
+        "host_feed_scaling": host_feed_scaling,
         "host_cpus": os.cpu_count(),
         "h2d_mbps": round(h2d_mbps, 1),
         "tunnel_capped_feed": tunnel_capped,

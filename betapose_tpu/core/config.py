@@ -46,6 +46,10 @@ class DetectionConfig:
     #                                 # (0 = reference least-squares)
     pnp_score_power: float = 0.0      # >0: weight PnP correspondences by
     #                                 # clip(kp_score,0)**power (extension)
+    pnp_spread_power: float = 0.0     # >0: also weight by heatmap peak
+    #                                 # CONCENTRATION**power (extension)
+    pnp_depth_prior: float = 0.0      # >0: soft bbox-scale depth prior
+    #                                 # weight in the LM solve (extension)
 
 
 @dataclasses.dataclass
@@ -127,6 +131,8 @@ class Config:
         d.host_pose_nms = getattr(args, "host_pose_nms", False)
         d.pnp_robust = getattr(args, "pnp_robust", 0)
         d.pnp_score_power = getattr(args, "pnp_score_power", 0.0)
+        d.pnp_spread_power = getattr(args, "pnp_spread_power", 0.0)
+        d.pnp_depth_prior = getattr(args, "pnp_depth_prior", 0.0)
         d.pose_batch = args.posebatch
         t = c.train
         t.lr = args.LR
@@ -252,6 +258,15 @@ def make_parser(description: str = "Betapose-TPU") -> argparse.ArgumentParser:
                    help="weight PnP correspondences by keypoint-score**p "
                         "(TPU-stack extension; 0 = unweighted; pairs well "
                         "with --pnp_robust under occlusion)")
+    p.add_argument("--pnp_spread_power", type=float, default=0.0,
+                   help="also weight PnP correspondences by heatmap peak "
+                        "concentration**p (TPU-stack extension; punishes "
+                        "hedging/multimodal responses whose peak VALUE "
+                        "is still high; 0 = off)")
+    p.add_argument("--pnp_depth_prior", type=float, default=0.0,
+                   help="soft depth prior weight: pull PnP t_z toward "
+                        "f*diameter/max(box_w,box_h) in the LM solve "
+                        "(TPU-stack extension; 0 = off)")
     p.add_argument("--host_loader", type=str, default="auto",
                    choices=("auto", "native", "threads", "procs"),
                    help="host frame-decode backend (TPU-stack extension): "

@@ -146,6 +146,8 @@ def build_pipeline(cfg: Config, args, kp_vertices, cam_K,
         nms_thresh=cfg.detection.nms_thresh,
         pnp_robust_rounds=cfg.detection.pnp_robust,
         pnp_score_power=cfg.detection.pnp_score_power,
+        pnp_spread_power=cfg.detection.pnp_spread_power,
+        pnp_depth_prior=cfg.detection.pnp_depth_prior,
         # --fast_inference False = InferenNet flip-TTA (reference
         # betapose_evaluate.py:125-130; here it actually runs)
         flip_tta=not cfg.model.fast_inference,

@@ -57,6 +57,17 @@ class PipelineConfig:
     #                               # top-k pruning, dataloader.py:718-724 —
     #                               # on the occlusion selftest tier power=4
     #                               # lifts ADD<0.1d from 0.69 to 0.88)
+    pnp_spread_power: float = 0.0   # >0: multiply PnP weights by
+    #                               # heatmap_concentration**power — a
+    #                               # peak-SHAPE confidence (a hedging /
+    #                               # multimodal response is down-weighted
+    #                               # even when its peak VALUE is high);
+    #                               # rides the pose-NMS merge like the
+    #                               # coordinates do
+    pnp_depth_prior: float = 0.0    # >0: soft LM prior pulling t_z toward
+    #                               # f * kp-cloud diameter / max(box_w,
+    #                               # box_h) with this weight (relative-
+    #                               # depth residual; see ops/pnp.py)
     pallas_decode: bool | None = None  # None = auto (TPU backend only)
     det_capacity: int = 1           # boxes/frame; >1 = multi-candidate mode
     nms_thresh: float = 0.4         # greedy-NMS IoU (multi-candidate only)
@@ -179,18 +190,41 @@ def make_pose_stage(cfg: PipelineConfig):
     return pose_stage
 
 
-def _pnp_one(cfg: PipelineConfig, p3, p2, cam_K, sc=None):
+def _pnp_one(cfg: PipelineConfig, p3, p2, cam_K, sc=None, spread=None,
+             box=None, diameter=None):
     """PnP for one frame per cfg: least-squares (reference cv2.solvePnP
-    semantics), the trimmed-IRLS robust extension, and/or keypoint-score
-    confidence weighting (cfg.pnp_score_power)."""
+    semantics), the trimmed-IRLS robust extension, keypoint-score and/or
+    peak-shape confidence weighting (cfg.pnp_score_power /
+    cfg.pnp_spread_power), and the bbox-scale depth prior
+    (cfg.pnp_depth_prior)."""
+    w = None
     if cfg.pnp_score_power > 0 and sc is not None:
         w = jnp.clip(sc, 0.0) ** cfg.pnp_score_power
+    if cfg.pnp_spread_power > 0 and spread is not None:
+        ws = jnp.clip(spread, 0.0) ** cfg.pnp_spread_power
+        w = ws if w is None else w * ws
+    z_prior, z_lambda = None, 0.0
+    if cfg.pnp_depth_prior > 0 and box is not None and diameter is not None:
+        size_px = jnp.maximum(box[2] - box[0], box[3] - box[1])
+        f = (cam_K[0, 0] + cam_K[1, 1]) * 0.5
+        z_prior = f * diameter / jnp.maximum(size_px, 1.0)
+        z_lambda = cfg.pnp_depth_prior
+    if w is not None or z_prior is not None:
         return pnp_ops.solve_pnp_robust(p3, p2, cam_K, iters=cfg.pnp_iters,
-                                        rounds=cfg.pnp_robust_rounds, w=w)
+                                        rounds=cfg.pnp_robust_rounds, w=w,
+                                        z_prior=z_prior, z_lambda=z_lambda)
     if cfg.pnp_robust_rounds > 0:
         return pnp_ops.solve_pnp_robust(p3, p2, cam_K, iters=cfg.pnp_iters,
                                         rounds=cfg.pnp_robust_rounds)
     return pnp_ops.solve_pnp(p3, p2, cam_K, iters=cfg.pnp_iters)
+
+
+def _kp_cloud_diameter(kp3d):
+    """Max pairwise distance of the keypoint model cloud — the scale the
+    bbox-size depth prior converts pixels to meters with (K^2 elementwise,
+    K <= 50)."""
+    d2 = jnp.sum((kp3d[:, None] - kp3d[None]) ** 2, axis=-1)
+    return jnp.sqrt(jnp.max(d2))
 
 
 def _decode_crops(cfg: PipelineConfig, hm, pt1, pt2):
@@ -218,6 +252,8 @@ def make_post_stage(cfg: PipelineConfig):
 
         keypoints, kp_scores, proposal, nms_valid = jax.vmap(nms_one)(
             det["boxes"], det["obj_score"], preds_img, maxval)
+        spread = (hm_ops.heatmap_concentration(hm)
+                  if cfg.pnp_spread_power > 0 else jnp.zeros_like(kp_scores))
 
         # ---- keypoint pruning to left_keypoints (dataloader.py:718-724) ----
         if cfg.left_keypoints < cfg.n_kp:
@@ -226,16 +262,20 @@ def make_post_stage(cfg: PipelineConfig):
                 keypoints, top_idx[..., None], axis=1)
             kp3d_sel = kp3d[top_idx]                      # [B, L, 3]
             sc_sel = top_sc
+            spread_sel = jnp.take_along_axis(spread, top_idx, axis=1)
         else:
             kp2d_sel = keypoints
             kp3d_sel = jnp.broadcast_to(
                 kp3d[None], (b,) + kp3d.shape)
             sc_sel = kp_scores
+            spread_sel = spread
 
         # ---- PnP ----
+        diam = _kp_cloud_diameter(kp3d)
         R, t = jax.vmap(
-            lambda p3, p2, s: _pnp_one(cfg, p3, p2, cam_K, s))(
-            kp3d_sel, kp2d_sel, sc_sel)
+            lambda p3, p2, s, sp, bx: _pnp_one(cfg, p3, p2, cam_K, s,
+                                               sp, bx, diam))(
+            kp3d_sel, kp2d_sel, sc_sel, spread_sel, det["boxes"])
 
         return {
             "boxes": det["boxes"],                # [B,4] xyxy image coords
@@ -264,25 +304,41 @@ def make_multi_post_stage(cfg: PipelineConfig):
 
     def post_stage(hm, det, kp3d, cam_K):
         cand = decode_stage(hm, det)
-        b = cand["boxes"].shape[0]
+        b, n = cand["boxes"].shape[:2]
 
-        kp, sc, proposal, pick_box, pick_obj, nms_valid = jax.vmap(
-            lambda bx, ob, k2, ks, v: pnms.pose_nms_device(bx, ob, k2, ks, v)
-        )(cand["boxes"], cand["obj_score"], cand["kp2d"],
-          cand["kp_scores"], cand["det_valid"])
+        if cfg.pnp_spread_power > 0:
+            cand_spread = hm_ops.heatmap_concentration(hm) \
+                .reshape(b, n, cfg.n_kp)
+            kp, sc, proposal, pick_box, pick_obj, nms_valid, spread = \
+                jax.vmap(lambda bx, ob, k2, ks, v, ex: pnms.pose_nms_device(
+                    bx, ob, k2, ks, v, extra=ex))(
+                    cand["boxes"], cand["obj_score"], cand["kp2d"],
+                    cand["kp_scores"], cand["det_valid"], cand_spread)
+        else:
+            kp, sc, proposal, pick_box, pick_obj, nms_valid = jax.vmap(
+                lambda bx, ob, k2, ks, v: pnms.pose_nms_device(
+                    bx, ob, k2, ks, v)
+            )(cand["boxes"], cand["obj_score"], cand["kp2d"],
+              cand["kp_scores"], cand["det_valid"])
+            spread = jnp.zeros_like(sc)
 
         if cfg.left_keypoints < cfg.n_kp:
             top_sc, top_idx = jax.lax.top_k(sc, cfg.left_keypoints)
             kp2d_sel = jnp.take_along_axis(kp, top_idx[..., None], axis=1)
             kp3d_sel = kp3d[top_idx]
             sc_sel = top_sc
+            spread_sel = jnp.take_along_axis(spread, top_idx, axis=1)
         else:
             kp2d_sel = kp
             kp3d_sel = jnp.broadcast_to(kp3d[None], (b,) + kp3d.shape)
             sc_sel = sc
+            spread_sel = spread
 
-        R, t = jax.vmap(lambda p3, p2, s: _pnp_one(cfg, p3, p2, cam_K, s))(
-            kp3d_sel, kp2d_sel, sc_sel)
+        diam = _kp_cloud_diameter(kp3d)
+        R, t = jax.vmap(
+            lambda p3, p2, s, sp, bx: _pnp_one(cfg, p3, p2, cam_K, s,
+                                               sp, bx, diam))(
+            kp3d_sel, kp2d_sel, sc_sel, spread_sel, pick_box)
         det_any = cand["det_valid"].any(axis=1)
         return {
             "boxes": pick_box,                    # winning candidate's box
@@ -489,11 +545,19 @@ class PosePipeline:
             kp3d_sel[i] = kp3d[top]
             sc_sel[i] = sc[top]
 
+        if self.cfg.pnp_spread_power > 0:
+            # the host clustering path doesn't carry heatmaps off-device;
+            # refuse rather than silently dropping the requested weighting
+            raise ValueError(
+                "pnp_spread_power requires the fused device pose-NMS "
+                "(drop --host_pose_nms)")
         if self._pnp_fn is None:
+            diam = _kp_cloud_diameter(self.kp3d)
             self._pnp_fn = jax.jit(jax.vmap(
-                lambda p3, p2, s: _pnp_one(self.cfg, p3, p2, self.cam_K, s)))
+                lambda p3, p2, s, bx: _pnp_one(self.cfg, p3, p2, self.cam_K,
+                                               s, None, bx, diam)))
         R, t = self._pnp_fn(jnp.asarray(kp3d_sel), jnp.asarray(kp2d_sel),
-                            jnp.asarray(sc_sel))
+                            jnp.asarray(sc_sel), jnp.asarray(boxes))
         return {
             "boxes": jnp.asarray(boxes),
             "obj_score": jnp.asarray(obj_score),

@@ -94,6 +94,13 @@ class LayerSpec:
     # scale multiplies only the backward delta, never the reported cost)
     cost_type: str = "sse"
     cost_scale: float = 1.0
+    # softmax-tree (tree.c; `tree=` on [region]/[softmax], parser.c:
+    # 239-240,346-347) + the class-id remap file (`map=`, parser.c:
+    # 290-291, utils.c read_map).  `tree` holds a data.wordtree.WordTree;
+    # compare=False keeps the frozen dataclass usable (WordTree has no
+    # value equality)
+    tree: object = dataclasses.field(default=None, compare=False)
+    class_map: tuple = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -342,7 +349,11 @@ def build_spec(cfg) -> NetworkSpec:
             out_channels.append(int(b.get("output", 1)))
             dims.append((1, 1))
         elif t == "softmax":
-            layers.append(LayerSpec("softmax", cin))
+            tree = None
+            if b.get("tree"):
+                from betapose_tpu.data.wordtree import WordTree
+                tree = WordTree.read(b["tree"])     # parser.c:239-240
+            layers.append(LayerSpec("softmax", cin, tree=tree))
             out_channels.append(cin)
             dims.append((cur_h, cur_w))
         elif t == "cost":
@@ -403,16 +414,27 @@ def build_spec(cfg) -> NetworkSpec:
         elif t == "region":
             # YOLOv2 detection head (region_layer.c): all `num` anchors in
             # GRID units (no mask); softmax/scales/bias_match/rescore per
-            # parse_region:310-344 (softmax_tree/map/classfix/focal out of
-            # scope — absent from every stock detector cfg)
+            # parse_region:310-344; `tree=`/`map=` load the softmax-tree
+            # hierarchy + class-id remap (parser.c:346-349; classfix out
+            # of scope — absent from every stock detector cfg)
             flat = [float(x)
                     for x in b["anchors"].replace(" ", "").split(",")]
             anchors = tuple((flat[j], flat[j + 1])
                             for j in range(0, len(flat), 2))
             needed.add(i - 1)
+            tree = None
+            if b.get("tree"):
+                from betapose_tpu.data.wordtree import WordTree
+                tree = WordTree.read(b["tree"])
+            cmap = None
+            if b.get("map"):
+                # utils.c read_map: one int per line
+                cmap = tuple(int(v) for v in
+                             open(b["map"]).read().split())
             layers.append(LayerSpec(
                 "region", cin, anchors=anchors,
                 num_classes=int(b["classes"]),
+                tree=tree, class_map=cmap,
                 det_softmax=int(b.get("softmax", 0)) != 0,
                 ignore_thresh=float(b.get("thresh", 0.5)),
                 coord_scale=float(b.get("coord_scale", 1.0)),
@@ -1199,7 +1221,8 @@ def _reorg_darknet(l: LayerSpec, x, old: bool):
     return out.reshape(b, oc, oh, ow).transpose(0, 2, 3, 1)
 
 
-def decode_region_head(x_nhwc, anchors, num_classes, reso, softmax=True):
+def decode_region_head(x_nhwc, anchors, num_classes, reso, softmax=True,
+                       tree=None):
     """Decode a YOLOv2 [region] head (region_layer.c forward +
     get_region_box with DOABS=1, region_layer.c:78-90,179-210):
       bx = (cx + sigmoid(tx)) / gs,  bw = exp(tw) * anchor_w / gs
@@ -1228,7 +1251,29 @@ def decode_region_head(x_nhwc, anchors, num_classes, reso, softmax=True):
     bw = jnp.exp(x[..., 2]) * aw * scale
     bh = jnp.exp(x[..., 3]) * ah * scale
     obj = jax.nn.sigmoid(x[..., 4])
-    cls = jax.nn.softmax(x[..., 5:], axis=-1) if softmax else x[..., 5:]
+    if tree is not None:
+        # softmax-tree class path: per-group softmax (region_layer.c:
+        # 196-201), joint probs up the ancestor chain
+        # (hierarchy_predictions, tree.c:36-50, called from
+        # get_region_boxes:393), then the no-map eval filter
+        # (get_region_boxes:399-408): keep ONLY the deepest node whose
+        # joint probability clears 0.5, zero everything else (parents
+        # precede children, so node index orders by depth)
+        from betapose_tpu.data.wordtree import group_softmax
+        cond = group_softmax(x[..., 5:], tree.group_onehot())
+        anc = jnp.asarray(tree.ancestor_matrix(), jnp.float32)
+        joint = jnp.exp(jnp.log(jnp.maximum(cond, 1e-30)) @ anc.T)
+        hit = joint > 0.5
+        found = jnp.any(hit, axis=-1, keepdims=True)
+        deepest = jnp.argmax(
+            jnp.where(hit, jnp.arange(joint.shape[-1]), -1), axis=-1)
+        cls = jnp.where(
+            found & (jax.nn.one_hot(deepest, joint.shape[-1]) > 0),
+            joint, 0.0)
+    elif softmax:
+        cls = jax.nn.softmax(x[..., 5:], axis=-1)
+    else:
+        cls = x[..., 5:]
     out = jnp.concatenate(
         [bx[..., None], by[..., None], bw[..., None], bh[..., None],
          obj[..., None], cls], axis=-1)
@@ -1371,7 +1416,16 @@ def forward(spec: NetworkSpec, params, x, reso: int, decode: bool = True,
             x = _connected_layer(l, p, x, train=train, bn_stats=bn_stats,
                                  path=i)
         elif l.kind == "softmax":
-            x = _darknet_softmax(x.astype(jnp.float32)).astype(x.dtype)
+            if l.tree is not None:
+                # softmax_tree forward (softmax_layer.c:35-55): an
+                # independent softmax per sibling group
+                from betapose_tpu.data.wordtree import group_softmax
+                b0 = x.shape[0]
+                x = group_softmax(x.reshape(b0, -1),
+                                  l.tree.group_onehot()) \
+                    .reshape(x.shape).astype(x.dtype)
+            else:
+                x = _darknet_softmax(x.astype(jnp.float32)).astype(x.dtype)
         elif l.kind == "dropout":
             if train and dropout_key is not None and l.dropout_p > 0:
                 keep = jax.random.bernoulli(
@@ -1412,7 +1466,7 @@ def forward(spec: NetworkSpec, params, x, reso: int, decode: bool = True,
             if decode:
                 decoded.append(
                     decode_region_head(x, l.anchors, l.num_classes, reso,
-                                       softmax=l.det_softmax))
+                                       softmax=l.det_softmax, tree=l.tree))
             x = cache[i - 1]
         elif l.kind == "detection":
             raw_heads.append(x)

@@ -59,6 +59,29 @@ def draw_gaussian_batch(pts, res_h: int, res_w: int, sigma: float = 1):
     return jnp.where(in_x & in_y & visible[..., None, None], g, 0.0)
 
 
+def heatmap_concentration(hms):
+    """Per-keypoint peak CONCENTRATION: the inverse participation ratio
+    of the rectified heatmap, sum(h+^2) / sum(h+)^2, in 1/pixels.
+
+    A clean unimodal gaussian of std s has concentration ~ 1/(4*pi*s^2)
+    regardless of its height; a flattened or multimodal response (the
+    occlusion failure mode: the net hedges between two plausible sites)
+    spreads mass and drives it toward 1/support_area.  Gather-free (two
+    reductions), so it rides the fused eval graph at no cost — unlike a
+    window-moment estimate around the argmax.
+
+    Extension beyond the reference: `utils/utils.py:17-41` weights
+    nothing (cv2.solvePnP, equal weights); this statistic feeds the
+    optional PnP confidence weighting (PipelineConfig.pnp_spread_power).
+
+    hms: [n, K, H, W].  Returns [n, K] float32, 0 for all-nonpositive maps.
+    """
+    h = jnp.maximum(hms.astype(jnp.float32), 0.0)
+    mass = h.sum(axis=(-1, -2))
+    mass2 = (h * h).sum(axis=(-1, -2))
+    return jnp.where(mass > 0, mass2 / jnp.maximum(mass, 1e-12) ** 2, 0.0)
+
+
 def decode_heatmaps(hms, pt1, pt2, inp_h: int, inp_w: int,
                     res_h: int, res_w: int, use_pallas: bool = False):
     """Vectorized `getPrediction` (`KPD/src/utils/eval.py:113-147`).

@@ -154,7 +154,7 @@ def pose_nms(bboxes, bbox_scores, pose_preds, pose_scores, delta2=DELTA2):
 
 
 def pose_nms_device(bboxes, bbox_scores, preds, scores, valid,
-                    delta2=DELTA2):
+                    delta2=DELTA2, extra=None):
     """Fixed-capacity on-device pPose-NMS returning the best surviving
     proposal (what the multi-candidate pipeline needs per frame).
 
@@ -178,6 +178,11 @@ def pose_nms_device(bboxes, bbox_scores, preds, scores, valid,
     Returns (keypoints [K,2] w/ -0.3 offset, kp_score [K], proposal_score,
     pick_bbox [4], pick_bbox_score, valid_out) for the surviving proposal
     with the highest proposal_score.
+
+    extra: optional [N,K] per-keypoint statistic (e.g. heatmap
+    concentration) carried through the SAME score-weighted merge as the
+    keypoint coordinates; when given, the merged [K] row for the winning
+    proposal is appended to the return tuple.
     """
     import jax
     import jax.numpy as jnp
@@ -254,8 +259,13 @@ def pose_nms_device(bboxes, bbox_scores, preds, scores, valid,
     survive = picked & f_pick & f_merge & f_area
     best = jnp.argmax(jnp.where(survive, proposal, -jnp.inf))
     valid_out = jnp.any(survive)
-    return (final_pose[best] + KP_OFFSET, final_score[best],
-            proposal[best], bboxes[best], bbox_scores[best], valid_out)
+    out = (final_pose[best] + KP_OFFSET, final_score[best],
+           proposal[best], bboxes[best], bbox_scores[best], valid_out)
+    if extra is not None:
+        final_extra = jnp.einsum(
+            "pjk,jk->pk", normed, extra.astype(jnp.float32))
+        out = out + (final_extra[best],)
+    return out
 
 
 def pose_nms_single(bbox, bbox_score, pose_pred, pose_score):

@@ -182,7 +182,8 @@ def run_occl_multiobj(n_frames=800, n_eval=32, yolo_iters=2000,
                       kpd_iters=8000, kpd_finetune_iters=3000,
                       kpd_batch=16, yolo_batch=8, reso=416, inp_h=320,
                       inp_w=256, n_kp=26, seed=0, params_dir=None,
-                      work_dir=None, train_precision=None, verbose=True):
+                      work_dir=None, train_precision=None, verbose=True,
+                      pnp_grid=None):
     """Returns per-object stats dicts from the occlusion CLI."""
     import tempfile
     objs = {1: objects_mod.cube_object(n_kp),
@@ -288,41 +289,77 @@ def run_occl_multiobj(n_frames=800, n_eval=32, yolo_iters=2000,
 
     # ---- the REAL occlusion CLI, once per object ----
     from betapose_tpu.eval import occlusion_betapose_evaluate as occ_cli
-    results = {}
-    for oid in objs:
-        ypath, kpath = weight_paths[oid]
-        argv = [
-            "--indir", rgb_dir,
-            "--outdir", os.path.join(base, f"out_{oid:02d}"),
-            "--obj_id", str(oid),
-            "--sixd_base", base,
-            "--nClasses", str(n_kp),
-            "--left_keypoints", str(n_kp),
-            "--netType", "resnet50",
-            "--inp_dim", str(reso),
-            "--inputResH", str(inp_h), "--inputResW", str(inp_w),
-            "--outputResH", str(inp_h // 4), "--outputResW",
-            str(inp_w // 4),
-            "--detbatch", "8",
-            "--conf", "0.005",
-            # the occlusion recipe: multi-candidate device pose-NMS +
-            # score^4-weighted robust PnP (CLAUDE.md occlusion tier)
-            "--det_capacity", "4",
-            "--pnp_robust", "2",
-            "--pnp_score_power", "4",
-            "--yolo_weights", ypath,
-            "--kpd_weights", kpath,
-        ]
+
+    def eval_all(extra_flags, tag=""):
+        out = {}
+        for oid in objs:
+            ypath, kpath = weight_paths[oid]
+            argv = [
+                "--indir", rgb_dir,
+                "--outdir", os.path.join(base, f"out_{oid:02d}"),
+                "--obj_id", str(oid),
+                "--sixd_base", base,
+                "--nClasses", str(n_kp),
+                "--left_keypoints", str(n_kp),
+                "--netType", "resnet50",
+                "--inp_dim", str(reso),
+                "--inputResH", str(inp_h), "--inputResW", str(inp_w),
+                "--outputResH", str(inp_h // 4), "--outputResW",
+                str(inp_w // 4),
+                "--detbatch", "8",
+                "--conf", "0.005",
+                # the occlusion recipe: multi-candidate device pose-NMS +
+                # score^4-weighted robust PnP (CLAUDE.md occlusion tier)
+                "--det_capacity", "4",
+                "--pnp_robust", "2",
+                "--pnp_score_power", "4",
+                "--yolo_weights", ypath,
+                "--kpd_weights", kpath,
+            ] + extra_flags                 # later flags override earlier
+            if verbose:
+                print(f"\n=== occlusion CLI, obj {oid}"
+                      f"{' [' + tag + ']' if tag else ''} ===")
+            out[oid] = occ_cli.main(argv)
         if verbose:
-            print(f"\n=== occlusion CLI, obj {oid} ===")
-        results[oid] = occ_cli.main(argv)
-    if verbose:
-        print("\nobj  object   ADD<0.1d  2D<20px  IoU>0.5")
-        for oid, o in objs.items():
-            r = results[oid]
-            print(f"{oid:02d}   {o.name:<8} {r['mean_add']:<9.2f} "
-                  f"{r['mean_2d_acc']:<8.2f} {r['mean_iou']:<7.2f}")
+            print(f"\n{tag or 'default'}")
+            print("obj  object   ADD<0.1d  2D<20px  IoU>0.5")
+            for oid, o in objs.items():
+                r = out[oid]
+                print(f"{oid:02d}   {o.name:<8} {r['mean_add']:<9.2f} "
+                      f"{r['mean_2d_acc']:<8.2f} {r['mean_iou']:<7.2f}")
+        return out
+
+    if not pnp_grid:
+        return eval_all([])
+
+    # ---- eval-side lever grid (VERDICT r4 #2): same weights, same
+    # frames, PnP/pruning knobs swept per combo ----
+    results = {}
+    for combo in pnp_grid:
+        flags = []
+        for k, v in combo.items():
+            flags += [f"--{k}", str(v)]
+        tag = ",".join(f"{k.replace('pnp_', '')}={v}"
+                       for k, v in combo.items()) or "default"
+        results[tag] = eval_all(flags, tag)
     return results
+
+
+def parse_pnp_grid(spec: str):
+    """--pnp_grid "k=v,k=v;k=v;default" -> list of flag dicts (semicolon-
+    separated combos, comma-separated k=v; 'default' = empty combo)."""
+    grid = []
+    for part in spec.split(";"):
+        part = part.strip()
+        if not part or part == "default":
+            grid.append({})
+            continue
+        combo = {}
+        for kv in part.split(","):
+            k, v = kv.split("=", 1)
+            combo[k.strip()] = v.strip()
+        grid.append(combo)
+    return grid
 
 
 def main(argv=None):
@@ -341,13 +378,17 @@ def main(argv=None):
                    choices=["bfloat16", "tensorfloat32", "float32"])
     p.add_argument("--out_json", type=str, default=None,
                    help="write the per-object result dict to this file")
+    p.add_argument("--pnp_grid", type=str, default=None,
+                   help="eval-only lever grid: semicolon-separated combos of comma-separated flag=value (e.g. 'default;pnp_spread_power=1;pnp_depth_prior=0.5,left_keypoints=20'); reuses cached weights, re-runs the occlusion CLI per combo")
     args = p.parse_args(argv)
     out = run_occl_multiobj(
         n_frames=args.frames, n_eval=args.eval_frames,
         yolo_iters=args.yolo_iters, kpd_iters=args.kpd_iters,
         kpd_finetune_iters=args.kpd_finetune, reso=args.reso,
         params_dir=args.params_dir, work_dir=args.work_dir,
-        train_precision=args.train_precision)
+        train_precision=args.train_precision,
+        pnp_grid=(parse_pnp_grid(args.pnp_grid)
+                  if args.pnp_grid else None))
     if args.out_json:
         from betapose_tpu.tools.sweep import json_sanitize
         json.dump(json_sanitize({str(k): v for k, v in out.items()}),

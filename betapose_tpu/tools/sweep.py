@@ -230,7 +230,8 @@ def run_sweep(object_names=None, n_frames=800,
               reso=416, inp_h=320, inp_w=256, n_kp=26, num_classes=15,
               seed=0, z_range=(0.45, 0.65), params_dir=None,
               train_precision=None, left_keypoints=20, verbose=True,
-              yolo_frames=None):
+              yolo_frames=None, pnp_score_power=0.0, pnp_spread_power=0.0,
+              pnp_depth_prior=0.0, det_capacity=1):
     """Returns {"per_object": [row...], "all_pass_085": bool}.
 
     yolo_frames: detector training uses the first yolo_frames frames of
@@ -364,7 +365,11 @@ def run_sweep(object_names=None, n_frames=800,
             out_h=inp_h // 4, out_w=inp_w // 4, n_kp=n_kp,
             left_keypoints=left_keypoints, confidence=0.005,
             compute_dtype="float32", pallas_decode=None,
-            pnp_robust_rounds=2, target_class=s["class_id"])
+            pnp_robust_rounds=2, target_class=s["class_id"],
+            pnp_score_power=pnp_score_power,
+            pnp_spread_power=pnp_spread_power,
+            pnp_depth_prior=pnp_depth_prior,
+            det_capacity=det_capacity)
         pipe = PosePipeline(spec, yfolded, kparams, obj.keypoints, CAM_K,
                             pcfg)
         row = evaluate_object(pipe, s["eval_frames"], s["eval_poses"],
@@ -440,6 +445,11 @@ def main(argv=None):
                    choices=["bfloat16", "tensorfloat32", "float32"])
     p.add_argument("--out_json", type=str, default=None,
                    help="write the per-object result table to this file")
+    p.add_argument("--left_keypoints", type=int, default=20)
+    p.add_argument("--det_capacity", type=int, default=1)
+    p.add_argument("--pnp_score_power", type=float, default=0.0)
+    p.add_argument("--pnp_spread_power", type=float, default=0.0)
+    p.add_argument("--pnp_depth_prior", type=float, default=0.0)
     args = p.parse_args(argv)
     names = (tuple(objects_mod.OBJECT_BUILDERS) if args.objects == "all"
              else tuple(args.objects.split(",")))
@@ -450,7 +460,12 @@ def main(argv=None):
                     num_classes=args.num_classes, reso=args.reso,
                     params_dir=args.params_dir,
                     train_precision=args.train_precision,
-                    yolo_frames=args.yolo_frames)
+                    yolo_frames=args.yolo_frames,
+                    left_keypoints=args.left_keypoints,
+                    det_capacity=args.det_capacity,
+                    pnp_score_power=args.pnp_score_power,
+                    pnp_spread_power=args.pnp_spread_power,
+                    pnp_depth_prior=args.pnp_depth_prior)
     if args.out_json:
         json.dump(json_sanitize(out), open(args.out_json, "w"), indent=1)
     return out

@@ -304,6 +304,10 @@ def region_head_loss(raw, l, truths, seen=10**9):
     gt_valid = (truths[..., 0] != 0) & (truths[..., 4] < nc)
     gt_boxes = truths[..., :4]
     gt_cls = truths[..., 4].astype(jnp.int32)
+    if l.class_map:
+        # l.map remap of the truth id (region_layer.c:350, `map=` cfg)
+        gt_cls = jnp.asarray(l.class_map, jnp.int32)[
+            jnp.clip(gt_cls, 0, len(l.class_map) - 1)]
 
     ious = _iou_xywh(pred[..., None, :], gt_boxes[:, None, None, None, :, :])
     ious = jnp.where(gt_valid[:, None, None, None, :], ious, 0.0)
@@ -359,7 +363,20 @@ def region_head_loss(raw, l, truths, seen=10**9):
                            * (obj_target - z_o) ** 2)
 
     onehot = jax.nn.one_hot(gt_cls, nc)
-    if l.det_softmax:
+    if l.tree is not None:
+        # softmax-tree class delta (delta_region_class hier branch,
+        # region_layer.c:116-129): a softmax CE delta within EVERY
+        # ancestor level's sibling group, zero elsewhere — the gradient
+        # of  -sum_{a in path(c)} log p_group(a)[a].  The onlyclass
+        # sentinel branch (truth.x > 1e5, region_layer.c:225-247 — the
+        # YOLO9000 joint-classification hack) is out of scope with its
+        # dataloader.
+        from betapose_tpu.data.wordtree import group_log_softmax
+        logp = group_log_softmax(z_c, l.tree.group_onehot())  # [B,T,nc]
+        path = jnp.asarray(l.tree.ancestor_matrix(), jnp.float32)
+        cls_loss = jnp.sum(
+            m * l.class_scale * -jnp.sum(path[gt_cls] * logp, axis=-1))
+    elif l.det_softmax:
         # delta class_scale*(onehot - softmax) on the input == CE grad
         cls_loss = jnp.sum(
             m * l.class_scale

@@ -305,3 +305,45 @@ class TestPoseNMSPickFields:
                 np.testing.assert_array_equal(r["pick_bbox"], bboxes[1])
             # reference-quirk field stays bboxes[0] for every result
             np.testing.assert_array_equal(r["bbox"], bboxes[0])
+
+
+class TestHeatmapConcentration:
+    """heatmap_concentration (PnP spread-weighting extension): inverse
+    participation ratio of the rectified map."""
+
+    def _gauss(self, h, w, cy, cx, s):
+        y, x = np.mgrid[0:h, 0:w].astype(np.float32)
+        return np.exp(-((x - cx) ** 2 + (y - cy) ** 2) / (2 * s * s))
+
+    def test_gaussian_matches_closed_form(self):
+        """For an interior gaussian of std s, sum(g^2)/sum(g)^2 ->
+        1/(4*pi*s^2) (continuous-integral ratio)."""
+        import jax.numpy as jnp
+        from betapose_tpu.ops import heatmap as hm
+        for s in (1.5, 3.0):
+            g = self._gauss(64, 64, 32, 32, s)[None, None]
+            got = float(hm.heatmap_concentration(jnp.asarray(g))[0, 0])
+            want = 1.0 / (4.0 * np.pi * s * s)
+            assert abs(got - want) / want < 0.02
+
+    def test_orders_sharp_above_flat_and_bimodal(self):
+        import jax.numpy as jnp
+        from betapose_tpu.ops import heatmap as hm
+        sharp = self._gauss(48, 48, 24, 24, 1.5)
+        flat = self._gauss(48, 48, 24, 24, 5.0)
+        bimodal = 0.5 * (self._gauss(48, 48, 14, 14, 1.5)
+                         + self._gauss(48, 48, 34, 34, 1.5))
+        c = np.asarray(hm.heatmap_concentration(
+            jnp.asarray(np.stack([sharp, flat, bimodal])[None])))[0]
+        assert c[0] > c[2] > c[1]       # sharp > bimodal > flat
+        # height-invariant: scaling the map doesn't change it
+        c10 = float(hm.heatmap_concentration(
+            jnp.asarray(10.0 * sharp[None, None]))[0, 0])
+        assert abs(c10 - c[0]) < 1e-6 * c[0] + 1e-9
+
+    def test_nonpositive_map_is_zero(self):
+        import jax.numpy as jnp
+        from betapose_tpu.ops import heatmap as hm
+        z = np.full((1, 2, 8, 8), -0.5, np.float32)
+        out = np.asarray(hm.heatmap_concentration(jnp.asarray(z)))
+        np.testing.assert_array_equal(out, 0.0)

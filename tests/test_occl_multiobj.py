@@ -112,3 +112,35 @@ def test_occl_multiobj_tiny_smoke(tmp_path):
     for oid in (1, 2):
         assert (tmp_path / "cache" / f"yolo_{oid:02d}.weights").exists()
         assert (tmp_path / "cache" / f"kpd_{oid:02d}.npz").exists()
+
+
+class TestPnpGrid:
+    def test_parse_pnp_grid(self):
+        from betapose_tpu.tools.occl_multiobj import parse_pnp_grid
+        g = parse_pnp_grid(
+            "default;pnp_spread_power=1;"
+            "pnp_depth_prior=0.3,left_keypoints=20")
+        assert g == [{}, {"pnp_spread_power": "1"},
+                     {"pnp_depth_prior": "0.3", "left_keypoints": "20"}]
+
+    @pytest.mark.slow
+    def test_grid_mode_reuses_weights_and_tags_results(self, tmp_path):
+        """Grid mode = same weights/tree, one CLI sweep per combo; the
+        result dict is keyed by the combo tag."""
+        from betapose_tpu.tools.occl_multiobj import (run_occl_multiobj,
+                                                      parse_pnp_grid)
+        kw = dict(n_frames=6, n_eval=2, yolo_iters=2, kpd_iters=2,
+                  kpd_finetune_iters=0, kpd_batch=4, yolo_batch=4,
+                  reso=96, inp_h=64, inp_w=32, n_kp=8,
+                  params_dir=str(tmp_path / "cache"),
+                  work_dir=str(tmp_path / "tree"), verbose=False)
+        run_occl_multiobj(**kw)              # trains + caches
+        res = run_occl_multiobj(
+            **kw, pnp_grid=parse_pnp_grid(
+                "default;pnp_spread_power=1,pnp_depth_prior=0.3"))
+        assert sorted(res) == ["default",
+                               "spread_power=1,depth_prior=0.3"]
+        for combo in res.values():
+            assert sorted(combo) == [1, 2]
+            for stats in combo.values():
+                assert "mean_add" in stats

@@ -583,3 +583,57 @@ class TestPreprocParity:
         assert abs(ref_roundtrip(240.0) - 240.0) < 1.0
         assert abs(ref_roundtrip(100.0) - 100.0) > 30.0
         assert abs(ref_roundtrip(380.0) - 380.0) > 30.0
+
+
+class TestPnpLeverKnobs:
+    """pnp_spread_power / pnp_depth_prior plumbed through both post
+    stages (capacity-1 and the fused multi-candidate device path)."""
+
+    def _pipe(self, **kw):
+        spec = yolo_mod.build_spec(TINY_YOLO_CFG)
+        yolo_params = yolo_mod.fold_bn(
+            spec, yolo_mod.init_params(jax.random.PRNGKey(0), spec))
+        kpd_params = kpd_mod.init_params(jax.random.PRNGKey(1), n_classes=6,
+                                         arch="resnet50")
+        kp3d = np.random.default_rng(0).standard_normal((6, 3)) * 0.05
+        cfg = PipelineConfig(reso=96, inp_h=64, inp_w=48, out_h=16,
+                             out_w=12, n_kp=6, confidence=0.01,
+                             compute_dtype="float32", **kw)
+        return PosePipeline(spec, yolo_params, kpd_params, kp3d, CAM_K, cfg)
+
+    @pytest.mark.parametrize("cap", [1, 3])
+    def test_knobs_run_and_stay_finite(self, cap):
+        pipe = self._pipe(det_capacity=cap, pnp_robust_rounds=1,
+                          pnp_score_power=4.0, pnp_spread_power=1.0,
+                          pnp_depth_prior=0.5, left_keypoints=5)
+        frames = np.random.default_rng(2).integers(
+            0, 255, (2, 120, 160, 3), dtype=np.uint8)
+        out = pipe(frames)
+        assert np.isfinite(np.asarray(out["cam_t"])).all()
+        assert np.isfinite(np.asarray(out["cam_R"])).all()
+        assert out["keypoints"].shape == (2, 6, 2)
+
+    def test_zero_knobs_match_previous_defaults(self):
+        """spread_power=0 / depth_prior=0 must not change the default
+        path's outputs (the zeros are never consumed)."""
+        frames = np.random.default_rng(3).integers(
+            0, 255, (2, 120, 160, 3), dtype=np.uint8)
+        a = self._pipe(det_capacity=3, pnp_robust_rounds=1,
+                       pnp_score_power=4.0)(frames)
+        b = self._pipe(det_capacity=3, pnp_robust_rounds=1,
+                       pnp_score_power=4.0, pnp_spread_power=0.0,
+                       pnp_depth_prior=0.0)(frames)
+        for k in ("cam_R", "cam_t", "keypoints", "kp_scores"):
+            np.testing.assert_array_equal(np.asarray(a[k]),
+                                          np.asarray(b[k]))
+
+    def test_host_mode_rejects_spread_but_takes_depth_prior(self):
+        frames = np.random.default_rng(5).integers(
+            0, 255, (2, 120, 160, 3), dtype=np.uint8)
+        pipe = self._pipe(det_capacity=3, host_pose_nms=True,
+                          pnp_spread_power=1.0)
+        with pytest.raises(ValueError, match="host_pose_nms"):
+            pipe(frames)
+        out = self._pipe(det_capacity=3, host_pose_nms=True,
+                         pnp_depth_prior=0.5)(frames)
+        assert np.isfinite(np.asarray(out["cam_t"])).all()

@@ -224,3 +224,62 @@ class TestRobustPnP:
             add_mm = float(np.mean(np.linalg.norm(pa - pb, axis=1))) * 1000
             n_fail += add_mm > 10.0
         assert n_fail == 0
+
+
+class TestDepthPrior:
+    """The bbox-scale depth prior (z_prior/z_lambda extension, VERDICT r4
+    #2b): a soft residual on t_z inside the weighted LM solve."""
+
+    def test_prior_none_bit_identical(self):
+        rng = np.random.default_rng(0)
+        pts3d, uv, R, t = _make_problem(rng, noise=1.0)
+        import jax.numpy as jnp
+        a = pnp_mod.solve_pnp_robust(jnp.asarray(pts3d), jnp.asarray(uv),
+                                     jnp.asarray(CAM_K), rounds=2)
+        b = pnp_mod.solve_pnp_robust(jnp.asarray(pts3d), jnp.asarray(uv),
+                                     jnp.asarray(CAM_K), rounds=2,
+                                     z_prior=None, z_lambda=0.0)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+    def test_prior_at_truth_reduces_depth_error(self):
+        """Averaged over problems, anchoring t_z at its true value must
+        cut the depth error — and not break the reprojection fit."""
+        import jax.numpy as jnp
+        errs_plain, errs_prior, rms_prior = [], [], []
+        for seed in range(6):
+            rng = np.random.default_rng(seed)
+            pts3d, uv, R, t = _make_problem(rng, n=26, noise=2.0)
+            Rp, tp = pnp_mod.solve_pnp_robust(
+                jnp.asarray(pts3d), jnp.asarray(uv), jnp.asarray(CAM_K),
+                rounds=2)
+            Rq, tq = pnp_mod.solve_pnp_robust(
+                jnp.asarray(pts3d), jnp.asarray(uv), jnp.asarray(CAM_K),
+                rounds=2, z_prior=jnp.asarray(t[2], jnp.float32),
+                z_lambda=5.0)
+            errs_plain.append(abs(float(tp[2]) - t[2]))
+            errs_prior.append(abs(float(tq[2]) - t[2]))
+            rms_prior.append(_reproj_rms(Rq, tq, pts3d, uv))
+        assert np.mean(errs_prior) < np.mean(errs_plain)
+        assert np.mean(rms_prior) < 4.0     # still fits the 2-px-noise obs
+
+    def test_strong_prior_dominates(self):
+        import jax.numpy as jnp
+        rng = np.random.default_rng(1)
+        pts3d, uv, R, t = _make_problem(rng, noise=2.0)
+        _, tq = pnp_mod.solve_pnp_robust(
+            jnp.asarray(pts3d), jnp.asarray(uv), jnp.asarray(CAM_K),
+            rounds=2, z_prior=jnp.asarray(2.0, jnp.float32), z_lambda=1e4)
+        assert abs(float(tq[2]) - 2.0) < 0.05
+
+    def test_prior_composes_with_weights(self):
+        import jax.numpy as jnp
+        rng = np.random.default_rng(2)
+        pts3d, uv, R, t = _make_problem(rng, noise=1.0)
+        w = jnp.asarray(rng.random(pts3d.shape[0]).astype(np.float32))
+        Rq, tq = pnp_mod.solve_pnp_robust(
+            jnp.asarray(pts3d), jnp.asarray(uv), jnp.asarray(CAM_K),
+            rounds=2, w=w, z_prior=jnp.asarray(t[2], jnp.float32),
+            z_lambda=2.0)
+        err = metrics.add_err(_pose(Rq, tq), _pose(R, t), pts3d)
+        assert err < 0.01

@@ -1,4 +1,4 @@
-"""Device pose-NMS (`ops.pose_nms.pose_nms_device`) parity vs the host
+"""Device pose-NMS (`ops.pnms.pose_nms_device`) parity vs the host
 clustering loop (`ops.pose_nms.pose_nms`, the transcription of reference
 `pPose_nms.py:24-122`): same winning proposal, keypoints, scores, and
 candidate attribution on random crowded candidate sets."""
@@ -155,3 +155,51 @@ class TestPoseNmsDevice:
             assert best is not None and bool(ok[b])
             assert float(prop[b]) == pytest.approx(
                 best["proposal_score"], rel=1e-4)
+
+
+class TestExtraMerge:
+    """The optional per-keypoint `extra` channel rides the identical
+    score-weighted merge as the coordinates (used to carry heatmap
+    concentration to the PnP weighting)."""
+
+    def _rand_candidates(self, seed=0, n=5, k=8):
+        rng = np.random.default_rng(seed)
+        base = rng.uniform(40, 80, (1, k, 2)).astype(np.float32)
+        preds = base + rng.normal(0, 2.0, (n, k, 2)).astype(np.float32)
+        scores = rng.uniform(0.3, 0.9, (n, k)).astype(np.float32)
+        boxes = np.tile(np.array([30, 30, 95, 95], np.float32), (n, 1))
+        boxes += rng.normal(0, 1.5, (n, 4)).astype(np.float32)
+        bscores = rng.uniform(0.5, 1.0, n).astype(np.float32)
+        valid = np.ones(n, bool)
+        return boxes, bscores, preds, scores, valid
+
+    def test_default_path_unchanged(self):
+        import jax.numpy as jnp
+        args = tuple(jnp.asarray(a) for a in self._rand_candidates())
+        out = pnms.pose_nms_device(*args)
+        assert len(out) == 6
+
+    def test_extra_equal_scores_merges_to_kp_score(self):
+        """With extra == scores, the merged extra must equal the merged
+        kp_score (both reduce to sum(mask*s^2)/sum(mask*s) since the
+        merge mask is 0/1)."""
+        import jax.numpy as jnp
+        args = tuple(jnp.asarray(a) for a in self._rand_candidates(3))
+        out = pnms.pose_nms_device(*args, extra=args[3])
+        assert len(out) == 7
+        kp_score, merged_extra = np.asarray(out[1]), np.asarray(out[6])
+        np.testing.assert_allclose(merged_extra, kp_score,
+                                   rtol=1e-5, atol=1e-6)
+        # and the first six outputs are identical to the default path
+        base = pnms.pose_nms_device(*args)
+        for a, b in zip(base, out[:6]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_constant_extra_survives_merge(self):
+        """A constant statistic must come out constant (the merge weights
+        normalize to 1 wherever any candidate merges)."""
+        import jax.numpy as jnp
+        args = tuple(jnp.asarray(a) for a in self._rand_candidates(7))
+        const = jnp.full(args[3].shape, 0.37)
+        out = pnms.pose_nms_device(*args, extra=const)
+        np.testing.assert_allclose(np.asarray(out[6]), 0.37, rtol=1e-5)
