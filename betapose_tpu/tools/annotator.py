@@ -96,6 +96,34 @@ def annotate_frame(pose, gt_bbox_xyxy, model_verts, kp_verts, cam):
     return np.asarray(gt_bbox_xyxy, np.float64), kp_img
 
 
+def annotate_frame_exact(pose, model_verts, kp_verts, cam):
+    """`annotate_frame` with gt_bbox = the annotator's OWN analytic mask
+    bbox, which turns the reference's ratio re-expansion into the exact
+    identity: kp_img is the exact sub-pixel keypoint projection.
+
+    Root-cause (measured, round-trip oracle): when the GT box comes from a
+    rasterized mask (`np.where(mask)` extremes — the reference's LineMod
+    path AND our `make_scene`), it differs from the annotator's internal
+    vertex-projection bbox by ±1 px, and the ratio trick re-scales the
+    whole keypoint constellation by that ratio.  A ~1% constellation-scale
+    error is ~1% DEPTH error to PnP: a 0.6–1.2 cm mean-ADD floor on every
+    synthetic tier (1.2 cm on the 7 cm 'tiny' object whose pass bar is
+    0.7 cm), with 2D reprojection staying ~1 px — invisible to every 2D
+    metric.  Feeding perfect keypoints through this chain already failed
+    ADD<0.1d on 'tiny' 16/16; with the analytic box the same oracle is
+    exact to float precision.
+
+    The reference formula is untouched (`annotate_frame` keeps parity for
+    real datasets, where masks are all you have); synthetic data
+    generation simply uses the one GT-box convention that makes the
+    reference's own trick lossless."""
+    R, t = pose[:3, :3], pose[:3, 3]
+    verts_cam = model_verts @ R.T + t
+    xmin, xmax, ymin, ymax = mask_bbox_of_model(verts_cam, cam)
+    return annotate_frame(pose, [xmin, ymin, xmax, ymax],
+                          model_verts, kp_verts, cam)
+
+
 def run(args):
     obj_id = args.obj_id
     out_base = args.output_base + "{:02d}".format(obj_id)

@@ -59,9 +59,19 @@ _QUADS = [(0, 1, 3, 2), (4, 6, 7, 5), (0, 4, 5, 1),
 def _box_mesh(center, half, face_colors):
     """Axis-aligned box triangle mesh with per-face colors.
 
-    face_colors is [6,3] (flat per-face color) or [6,2,3] (2x2 checker of
-    two alternating colors per face — the "textured" variant: the face is
-    subdivided into four bilinear sub-quads colored c0,c1 / c1,c0).
+    face_colors is [6,3] (flat per-face color), [6,2,3] (2x2 checker of
+    two alternating colors per face: sub-cell (i,j) gets color (i+j)%2) or
+    [6,4,3] (2x2 grid of four DISTINCT colors per face: sub-cell (i,j)
+    gets color 2*i+j).
+
+    The [6,2,3] diagonal checker is appearance-degenerate: every face maps
+    onto itself under a 180° in-plane rotation, so near-frontal views of a
+    face have a near-identical twin with keypoint labels an object-extent
+    apart — the DESIGN.md §6b canonicalization-seam failure without an
+    exact symmetry to hang min-over-modes supervision on (measured: KPD
+    PCK collapses to 0.03 where the identically-shaped flat-color cube
+    reaches 0.97).  The [6,4,3] grid keeps within-face appearance
+    structure while every in-plane rotation changes the image.
 
     Returns (verts, colors, tris) — same quad corner/winding layout as
     the selftest CubeModel."""
@@ -86,16 +96,19 @@ def _box_mesh(center, half, face_colors):
         if not checker:
             emit_quad(p, face_colors[qi])
             continue
-        # bilinear 2x2 subdivision; sub-cell (i,j) gets color (i+j) % 2
+        # bilinear 2x2 subdivision; sub-cell (i,j) gets color (i+j)%2
+        # (2-color checker) or 2*i+j (4-color grid)
         def at(u, v):
             return ((1 - u) * (1 - v) * p[0] + u * (1 - v) * p[1]
                     + u * v * p[2] + (1 - u) * v * p[3])
+        n_cell_colors = face_colors.shape[1]
         for i in range(2):
             for j in range(2):
                 u0, u1 = i * 0.5, (i + 1) * 0.5
                 v0, v1 = j * 0.5, (j + 1) * 0.5
                 sub = [at(u0, v0), at(u1, v0), at(u1, v1), at(u0, v1)]
-                emit_quad(sub, face_colors[qi][(i + j) % 2])
+                ci = (i + j) % 2 if n_cell_colors == 2 else 2 * i + j
+                emit_quad(sub, face_colors[qi][ci])
     return np.asarray(verts), np.asarray(cols), np.asarray(tris, int)
 
 
@@ -499,20 +512,36 @@ def tbar_object(n_kp: int = 26) -> MeshObject:
 
 
 def checker_object(n_kp: int = 26) -> MeshObject:
-    """Textured variant: a cube whose faces carry a 2x2 checker of two
-    alternating colors — within-face appearance structure instead of the
+    """Textured variant: a cube whose faces carry a 2x2 grid of four
+    DISTINCT colors — within-face appearance structure instead of the
     zoo's flat face colors (the closest box-world analog of the
     reference's textured meshes, `utils/renderer.py:50-85` textured
-    program)."""
-    pairs = np.array([
-        [[0.95, 0.25, 0.25], [0.25, 0.25, 0.3]],
-        [[0.25, 0.9, 0.3], [0.95, 0.95, 0.9]],
-        [[0.3, 0.4, 0.95], [0.95, 0.85, 0.25]],
-        [[0.9, 0.3, 0.9], [0.3, 0.9, 0.85]],
-        [[0.95, 0.6, 0.2], [0.3, 0.3, 0.9]],
-        [[0.6, 0.95, 0.4], [0.8, 0.25, 0.5]]])
+    program).
+
+    History: the first revision used a 2-color diagonal checker per face.
+    That texture is invariant under a 180° in-plane rotation of every
+    face, so near-frontal views have near-identical twins with keypoint
+    labels an object-extent apart — mode-averaged supervision collapsed
+    KPD to PCK 0.03 (see _box_mesh docstring; the measured failure is
+    recorded in PARITY.md).  Real textured meshes (LineMod benchvise/
+    iron/phone) are locally distinctive; the 4-color grid restores that
+    property while keeping the within-face structure this row exists to
+    exercise."""
+    quads = np.array([
+        [[0.95, 0.25, 0.25], [0.25, 0.25, 0.3],
+         [0.95, 0.85, 0.25], [0.3, 0.6, 0.3]],
+        [[0.25, 0.9, 0.3], [0.95, 0.95, 0.9],
+         [0.2, 0.3, 0.7], [0.85, 0.5, 0.2]],
+        [[0.3, 0.4, 0.95], [0.95, 0.85, 0.25],
+         [0.8, 0.25, 0.45], [0.35, 0.8, 0.8]],
+        [[0.9, 0.3, 0.9], [0.3, 0.9, 0.85],
+         [0.9, 0.65, 0.3], [0.25, 0.4, 0.55]],
+        [[0.95, 0.6, 0.2], [0.3, 0.3, 0.9],
+         [0.55, 0.9, 0.35], [0.85, 0.3, 0.6]],
+        [[0.6, 0.95, 0.4], [0.8, 0.25, 0.5],
+         [0.3, 0.55, 0.95], [0.9, 0.9, 0.35]]])
     return MeshObject("checker",
-                      [((0, 0, 0), (0.035, 0.035, 0.035), pairs)],
+                      [((0, 0, 0), (0.035, 0.035, 0.035), quads)],
                       n_kp=n_kp)
 
 

@@ -40,7 +40,7 @@ from betapose_tpu.geometry.utils import get_bbox_from_mask
 from betapose_tpu.models import yolov3 as yolo_mod
 from betapose_tpu.models import kpd as kpd_mod
 from betapose_tpu.models.darknet_cfg import make_yolov3_cfg
-from betapose_tpu.tools.annotator import annotate_frame
+from betapose_tpu.tools.annotator import annotate_frame_exact
 from betapose_tpu.tools.selftest import CAM_K, CACHE_VERSION, distractor_model
 from betapose_tpu.tools import objects as objects_mod
 from betapose_tpu.tools.sweep import train_detector, train_kpd
@@ -264,8 +264,8 @@ def run_occl_multiobj(n_frames=800, n_eval=32, yolo_iters=2000,
             bboxes = np.asarray([gt[i][oid][1] for i in range(n_frames)],
                                 np.float32)
             parts = np.stack([
-                annotate_frame(gt[i][oid][0], gt[i][oid][1], o.vertices,
-                               o.keypoints, CAM_K)[1]
+                annotate_frame_exact(gt[i][oid][0], o.vertices,
+                                     o.keypoints, CAM_K)[1]
                 for i in range(n_frames)]).astype(np.float32)
             if verbose:
                 print(f"training kpd[obj {oid}] on occluded crops")

@@ -28,7 +28,7 @@ from betapose_tpu.data import sixd as sixd_mod
 from betapose_tpu.geometry.renderer import Renderer
 from betapose_tpu.geometry import metrics
 from betapose_tpu.geometry.utils import get_bbox_from_mask
-from betapose_tpu.tools.annotator import annotate_frame
+from betapose_tpu.tools.annotator import annotate_frame_exact
 from betapose_tpu.models import yolov3 as yolo_mod
 from betapose_tpu.models import kpd as kpd_mod
 from betapose_tpu.train import yolo_train, kpd_train
@@ -43,7 +43,10 @@ CAM_K = sixd_mod.LINEMOD_CAM_K
 # whose manifests still matched).  Caches stamped with an older epoch (or
 # none) hard-refuse to reload instead of producing a stale-weights number.
 #   v2: round-4 epoch (post bf16-default + augment refactor).
-CACHE_VERSION = 2
+#   v3: exact-identity KPD annotation (annotate_frame_exact) — labels are
+#       now exact sub-pixel projections; v2 caches were trained on labels
+#       carrying the mask-bbox ratio-trick scale noise (~1cm ADD floor).
+CACHE_VERSION = 3
 
 YOLO_CFG = """
 [net]
@@ -312,7 +315,7 @@ def run_selftest(n_frames=60, n_eval=8, yolo_iters=250, kpd_iters=1500,
         occ = occluder if occlusion and (i >= n_frames
                                          or rng.random() < 0.5) else None
         frame, pose, bbox = make_scene(rng, model, z_range, occluder=occ)
-        _, kp_img = annotate_frame(pose, bbox, model.vertices, kp3d, CAM_K)
+        _, kp_img = annotate_frame_exact(pose, model.vertices, kp3d, CAM_K)
         frames.append(frame)
         poses.append(pose)
         bboxes.append(bbox)

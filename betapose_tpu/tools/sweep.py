@@ -55,7 +55,7 @@ from betapose_tpu.models.darknet_cfg import make_yolov3_cfg
 from betapose_tpu.train import yolo_train, kpd_train
 from betapose_tpu.train.augment import AugmentConfig, augment_batch
 from betapose_tpu.eval.pipeline import PosePipeline, PipelineConfig
-from betapose_tpu.tools.annotator import annotate_frame
+from betapose_tpu.tools.annotator import annotate_frame_exact
 from betapose_tpu.tools.selftest import CAM_K, CACHE_VERSION, make_scene
 from betapose_tpu.tools import objects as objects_mod
 
@@ -70,8 +70,10 @@ def render_sequence(rng, obj, n, z_range, canonical=True):
         frame, pose, bbox = make_scene(rng, obj, z_range)
         ann_pose = (objects_mod.canonicalize_pose(pose, obj.symmetries)
                     if canonical else pose)
-        _, kp_img = annotate_frame(ann_pose, bbox, obj.vertices,
-                                   obj.keypoints, CAM_K)
+        # exact-identity annotation (annotate_frame_exact docstring): the
+        # mask-bbox ratio trick costs ~1% constellation scale == ~1cm ADD
+        _, kp_img = annotate_frame_exact(ann_pose, obj.vertices,
+                                         obj.keypoints, CAM_K)
         frames.append(frame)
         poses.append(pose)
         bboxes.append(bbox)

@@ -123,12 +123,16 @@ class TestObjectZoo:
             for c in canon[1:]:
                 np.testing.assert_allclose(c, canon[0], atol=1e-12)
 
-    def test_checker_faces_carry_two_colors(self):
-        """The textured variant subdivides each face into a 2x2 checker
-        of two alternating colors (within-face appearance structure)."""
+    def test_checker_faces_carry_four_distinct_colors(self):
+        """The textured variant subdivides each face into a 2x2 grid of
+        four DISTINCT colors.  Distinctness is load-bearing: the first
+        revision's 2-color diagonal checker was invariant under a 180°
+        in-plane rotation of every face, and that appearance degeneracy
+        collapsed KPD training to PCK 0.03 (the identically-shaped flat
+        cube trains to 0.97) — a canonicalization-seam failure with no
+        exact symmetry to hang min-over-modes supervision on."""
         c = objects_mod.checker_object()
         assert len(c.vertices) == 96          # 6 faces x 4 sub-quads x 4
-        # group sub-quads by face normal axis: each face shows 2 colors
         v = c.vertices.reshape(24, 4, 3)
         col = c.colors.reshape(24, 4, 3)
         for axis in range(3):
@@ -139,7 +143,17 @@ class TestObjectZoo:
                 assert len(on_face) == 4
                 face_cols = {tuple(np.round(col[i][0], 6))
                              for i in on_face}
-                assert len(face_cols) == 2
+                assert len(face_cols) == 4    # all four cells distinct
+
+    def test_two_color_checker_mesh_still_builds(self):
+        """[6,2,3] face_colors (the legacy 2-color checker layout) stays
+        a supported _box_mesh input: diagonal cells share a color."""
+        pairs = np.tile(np.array([[[1.0, 0, 0], [0, 0, 1.0]]]), (6, 1, 1))
+        o = objects_mod.MeshObject(
+            "chk2", [((0, 0, 0), (0.03, 0.03, 0.03), pairs)], n_kp=8)
+        col = o.colors.reshape(24, 4, 3)
+        uniq = {tuple(np.round(col[i][0], 6)) for i in range(24)}
+        assert uniq == {(1.0, 0.0, 0.0), (0.0, 0.0, 1.0)}
 
     def test_ring_has_a_through_hole(self):
         """Genus-1: the frame's center is empty (background visible

@@ -163,3 +163,43 @@ class TestAnnotator:
         # remapped points stay within ~the GT bbox bounds
         assert kp_img[:, 0].min() > bbox_xyxy[0] - 60
         assert kp_img[:, 0].max() < bbox_xyxy[2] + 60
+
+    def test_annotate_frame_exact_is_identity_remap(self, synthetic_sixd):
+        """annotate_frame_exact must return the exact sub-pixel pinhole
+        projection: feeding the annotator's own analytic mask bbox as the
+        GT bbox makes the reference's ratio re-expansion the identity.
+
+        This is the root-cause fix for the measured ~1 cm ADD floor: a
+        rasterized-mask GT box differs from the analytic bbox by ±1 px,
+        and the ratio trick rescales the whole keypoint constellation by
+        that ratio — ~1% constellation scale == ~1% depth error to PnP,
+        while 2D reprojection stays ~1 px (perfect keypoints through the
+        old chain failed ADD<0.1d 16/16 on the 7 cm 'tiny' object)."""
+        from betapose_tpu.tools.annotator import (annotate_frame,
+                                                  annotate_frame_exact,
+                                                  project_points)
+        from betapose_tpu.data import sixd as sixd_mod
+        from betapose_tpu.geometry.model3d import Model3D
+
+        bench = sixd_mod.load_sixd(synthetic_sixd, seq=1)
+        model = Model3D(os.path.join(synthetic_sixd, "models", "obj_01.ply"),
+                        scale=0.001)
+        kpm = Model3D(os.path.join(synthetic_sixd, "kpmodels", "obj_01.ply"),
+                      scale=0.001)
+        _, pose, bb = bench.frames[0].gt[0]
+        cam = sixd_mod.LINEMOD_CAM_K
+
+        _, kp_img = annotate_frame_exact(pose, model.vertices,
+                                         kpm.vertices, cam)
+        kp_cam = kpm.vertices @ pose[:3, :3].T + pose[:3, 3]
+        np.testing.assert_allclose(kp_img, project_points(kp_cam, cam),
+                                   atol=1e-9)
+
+        # and a ±1 px bbox perturbation through the parity path produces
+        # a constellation-SCALE error (the depth-noise mechanism)
+        bbox_xyxy = [bb[0] - 1, bb[1], bb[0] + bb[2] + 1, bb[1] + bb[3]]
+        _, kp_pert = annotate_frame(pose, bbox_xyxy, model.vertices,
+                                    kpm.vertices, cam)
+        spread = kp_img[:, 0].max() - kp_img[:, 0].min()
+        spread_p = kp_pert[:, 0].max() - kp_pert[:, 0].min()
+        assert abs(spread_p - spread) > 0.5   # scale shift, not a shift
