@@ -183,8 +183,10 @@ def run_occl_multiobj(n_frames=800, n_eval=32, yolo_iters=2000,
                       kpd_batch=16, yolo_batch=8, reso=416, inp_h=320,
                       inp_w=256, n_kp=26, seed=0, params_dir=None,
                       work_dir=None, train_precision=None, verbose=True,
-                      pnp_grid=None):
-    """Returns per-object stats dicts from the occlusion CLI."""
+                      pnp_grid=None, beat=None):
+    """Returns per-object stats dicts from the occlusion CLI.
+
+    beat: optional liveness callback (core.watchdog) — see sweep.run_sweep."""
     import tempfile
     objs = {1: objects_mod.cube_object(n_kp),
             2: objects_mod.lwedge_object(n_kp)}
@@ -256,7 +258,8 @@ def run_occl_multiobj(n_frames=800, n_eval=32, yolo_iters=2000,
                 print(f"training detector[obj {oid}] (single-class @{reso}²)")
             yp = train_detector(spec, train_u8, truths, yolo_iters,
                                 yolo_batch, reso, train_precision,
-                                seed=seed + oid, verbose=verbose)
+                                seed=seed + oid, verbose=verbose,
+                                beat=beat)
             if ypath:
                 yolo_mod.save_darknet_weights(spec, jax.device_get(yp),
                                               ypath)
@@ -272,7 +275,7 @@ def run_occl_multiobj(n_frames=800, n_eval=32, yolo_iters=2000,
             kp = train_kpd(train_u8, bboxes, parts, n_kp, kpd_iters,
                            kpd_finetune_iters, kpd_batch, inp_h, inp_w,
                            train_precision, seed=seed + 10 * oid,
-                           verbose=verbose)
+                           verbose=verbose, beat=beat)
             if kpath:
                 from betapose_tpu.core import checkpoint as ckpt
                 ckpt.save_pytree_npz(kpath, jax.device_get(kp))
@@ -320,6 +323,8 @@ def run_occl_multiobj(n_frames=800, n_eval=32, yolo_iters=2000,
                 print(f"\n=== occlusion CLI, obj {oid}"
                       f"{' [' + tag + ']' if tag else ''} ===")
             out[oid] = occ_cli.main(argv)
+            if beat is not None:
+                beat()
         if verbose:
             print(f"\n{tag or 'default'}")
             print("obj  object   ADD<0.1d  2D<20px  IoU>0.5")
@@ -380,15 +385,23 @@ def main(argv=None):
                    help="write the per-object result dict to this file")
     p.add_argument("--pnp_grid", type=str, default=None,
                    help="eval-only lever grid: semicolon-separated combos of comma-separated flag=value (e.g. 'default;pnp_spread_power=1;pnp_depth_prior=0.5,left_keypoints=20'); reuses cached weights, re-runs the occlusion CLI per combo")
+    p.add_argument("--stall_timeout", type=float, default=900.0,
+                   help="hard-exit (code 3) if no step/eval completes "
+                        "for this many seconds (wedged tunnel RPC); "
+                        "rerun to resume from --params_dir caches.  "
+                        "0 disables")
     args = p.parse_args(argv)
-    out = run_occl_multiobj(
-        n_frames=args.frames, n_eval=args.eval_frames,
-        yolo_iters=args.yolo_iters, kpd_iters=args.kpd_iters,
-        kpd_finetune_iters=args.kpd_finetune, reso=args.reso,
-        params_dir=args.params_dir, work_dir=args.work_dir,
-        train_precision=args.train_precision,
-        pnp_grid=(parse_pnp_grid(args.pnp_grid)
-                  if args.pnp_grid else None))
+    from betapose_tpu.core.watchdog import StallWatchdog
+    with StallWatchdog(args.stall_timeout, label="occl_multiobj") as wd:
+        out = run_occl_multiobj(
+            n_frames=args.frames, n_eval=args.eval_frames,
+            yolo_iters=args.yolo_iters, kpd_iters=args.kpd_iters,
+            kpd_finetune_iters=args.kpd_finetune, reso=args.reso,
+            params_dir=args.params_dir, work_dir=args.work_dir,
+            train_precision=args.train_precision,
+            pnp_grid=(parse_pnp_grid(args.pnp_grid)
+                      if args.pnp_grid else None),
+            beat=wd.beat if wd.enabled else None)
     if args.out_json:
         from betapose_tpu.tools.sweep import json_sanitize
         json.dump(json_sanitize({str(k): v for k, v in out.items()}),

@@ -83,7 +83,7 @@ def render_sequence(rng, obj, n, z_range, canonical=True):
 
 
 def train_detector(spec, frames_u8_dev, truths, iters, batch, reso,
-                   precision, seed=0, verbose=True):
+                   precision, seed=0, verbose=True, beat=None):
     """Shared multi-class detector at the production shape (darknet
     random-init training, burn-in LR, on-device crop-jitter/flip/HSV
     augmentation — `detector.c:38-226` semantics)."""
@@ -108,6 +108,8 @@ def train_detector(spec, frames_u8_dev, truths, iters, batch, reso,
         aug_i, aug_t = yolo_train.augment_detection_batch(
             k1, imgs, truths_j[sel], ycfg, reso, reso)
         params, opt, m = step(params, opt, aug_i, aug_t)
+        if beat is not None:
+            beat()
         if verbose and (it + 1) % 500 == 0:
             print(f"  yolo iter {it + 1}/{iters} "
                   f"loss {float(m['loss']):.3f} "
@@ -121,7 +123,7 @@ def train_detector(spec, frames_u8_dev, truths, iters, batch, reso,
 
 def train_kpd(frames_u8_dev, bboxes, parts, n_kp, iters, finetune_iters,
               batch, inp_h, inp_w, precision, seed=1, verbose=True,
-              sym_perms=None):
+              sym_perms=None, beat=None):
     """Per-object KPD (FastPose-resnet50) — the slow selftest recipe:
     Adam 1e-3 then a 1e-4 subpixel-convergence phase, on-device DPG
     augmentation, masked-MSE heatmap loss.  For symmetric objects,
@@ -158,6 +160,8 @@ def train_kpd(frames_u8_dev, bboxes, parts, n_kp, iters, finetune_iters,
             b = augment_batch(k1, imgs01, bboxes_j[sel], parts_j[sel],
                               aug_cfg)
             params, opt, m = step(params, opt, b)
+            if beat is not None:
+                beat()
         if verbose:
             print(f"  kpd phase {phase} ({n_iters} iters @{lr:g}): "
                   f"loss {float(m['loss']):.5f} acc {float(m['acc']):.3f} "
@@ -233,8 +237,12 @@ def run_sweep(object_names=None, n_frames=800,
               seed=0, z_range=(0.45, 0.65), params_dir=None,
               train_precision=None, left_keypoints=20, verbose=True,
               yolo_frames=None, pnp_score_power=0.0, pnp_spread_power=0.0,
-              pnp_depth_prior=0.0, det_capacity=1):
+              pnp_depth_prior=0.0, det_capacity=1, beat=None):
     """Returns {"per_object": [row...], "all_pass_085": bool}.
+
+    beat: optional zero-arg liveness callback (core.watchdog) invoked
+    after every training step / render / eval so a CLI-armed stall
+    watchdog can distinguish a wedged tunnel RPC from slow progress.
 
     yolo_frames: detector training uses the first yolo_frames frames of
     each object (default: all n_frames).  13 objects x 800 frames as a
@@ -300,6 +308,8 @@ def run_sweep(object_names=None, n_frames=800,
         if verbose:
             print(f"rendered seq {ci + 1:02d} ({obj.name}): "
                   f"{n_frames}+{n_eval} scenes ({time.time() - t0:.0f}s)")
+        if beat is not None:
+            beat()
 
     # ---- shared production-shape detector ----
     spec = yolo_mod.build_spec(make_yolov3_cfg(
@@ -324,7 +334,7 @@ def run_sweep(object_names=None, n_frames=800,
                   f"@{reso}² on {len(truths)} frames")
         yparams = train_detector(spec, all_dev, truths, yolo_iters,
                                  yolo_batch, reso, train_precision,
-                                 seed=seed, verbose=verbose)
+                                 seed=seed, verbose=verbose, beat=beat)
         del all_dev
         if ypath:
             yolo_mod.save_darknet_weights(spec, jax.device_get(yparams),
@@ -357,7 +367,8 @@ def run_sweep(object_names=None, n_frames=800,
                                 kpd_finetune_iters, kpd_batch, inp_h, inp_w,
                                 train_precision, seed=seed + s["class_id"],
                                 verbose=verbose,
-                                sym_perms=obj.symmetry_perms or None)
+                                sym_perms=obj.symmetry_perms or None,
+                                beat=beat)
             del pool_dev
             if kpath:
                 from betapose_tpu.core import checkpoint as ckpt
@@ -378,6 +389,8 @@ def run_sweep(object_names=None, n_frames=800,
                               s["eval_bboxes"], obj)
         row["seq"] = s["class_id"] + 1
         rows.append(row)
+        if beat is not None:
+            beat()
         if verbose:
             metric = "ADD-S" if row["symmetric"] else "ADD"
             acc = row["adds_acc"] if row["symmetric"] else row["add_acc"]
@@ -452,22 +465,32 @@ def main(argv=None):
     p.add_argument("--pnp_score_power", type=float, default=0.0)
     p.add_argument("--pnp_spread_power", type=float, default=0.0)
     p.add_argument("--pnp_depth_prior", type=float, default=0.0)
+    p.add_argument("--stall_timeout", type=float, default=900.0,
+                   help="hard-exit (code 3) if no step/render/eval "
+                        "completes for this many seconds — a wedged "
+                        "tunnel RPC cannot be interrupted from Python, "
+                        "only escaped; rerun to resume from --params_dir "
+                        "caches.  0 disables")
     args = p.parse_args(argv)
     names = (tuple(objects_mod.OBJECT_BUILDERS) if args.objects == "all"
              else tuple(args.objects.split(",")))
-    out = run_sweep(object_names=names,
-                    n_frames=args.frames, n_eval=args.eval_frames,
-                    yolo_iters=args.yolo_iters, kpd_iters=args.kpd_iters,
-                    kpd_finetune_iters=args.kpd_finetune,
-                    num_classes=args.num_classes, reso=args.reso,
-                    params_dir=args.params_dir,
-                    train_precision=args.train_precision,
-                    yolo_frames=args.yolo_frames,
-                    left_keypoints=args.left_keypoints,
-                    det_capacity=args.det_capacity,
-                    pnp_score_power=args.pnp_score_power,
-                    pnp_spread_power=args.pnp_spread_power,
-                    pnp_depth_prior=args.pnp_depth_prior)
+    from betapose_tpu.core.watchdog import StallWatchdog
+    with StallWatchdog(args.stall_timeout, label="sweep") as wd:
+        out = run_sweep(object_names=names,
+                        n_frames=args.frames, n_eval=args.eval_frames,
+                        yolo_iters=args.yolo_iters,
+                        kpd_iters=args.kpd_iters,
+                        kpd_finetune_iters=args.kpd_finetune,
+                        num_classes=args.num_classes, reso=args.reso,
+                        params_dir=args.params_dir,
+                        train_precision=args.train_precision,
+                        yolo_frames=args.yolo_frames,
+                        left_keypoints=args.left_keypoints,
+                        det_capacity=args.det_capacity,
+                        pnp_score_power=args.pnp_score_power,
+                        pnp_spread_power=args.pnp_spread_power,
+                        pnp_depth_prior=args.pnp_depth_prior,
+                        beat=wd.beat if wd.enabled else None)
     if args.out_json:
         json.dump(json_sanitize(out), open(args.out_json, "w"), indent=1)
     return out
