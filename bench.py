@@ -94,7 +94,14 @@ def _mfu_estimate(jax, pipe, frames_dev, steady_fps, batch):
 
 def main():
     from betapose_tpu.core.compile_cache import enable_compile_cache
+    from betapose_tpu.core.watchdog import StallWatchdog
     enable_compile_cache()
+    # A wedged tunnel RPC would hang the bench forever (unkillable from
+    # Python — see core/watchdog.py); bound each phase instead so the
+    # driver gets a fast exit-3 it can retry.  Generous: one phase is at
+    # most a cold full-pipeline compile (1-3 min) + a measurement loop.
+    wd = StallWatchdog(float(os.environ.get("BENCH_STALL_TIMEOUT", "900")),
+                       label="bench").start()
     # batch 96 is the measured throughput peak on one v5e (PROFILE.md:
     # 964-1080 fps across 64-192, max at 96); override via BENCH_BATCH
     batch = int(os.environ.get("BENCH_BATCH", "96"))
@@ -132,6 +139,7 @@ def main():
     steady_fps = _steady_fps(jax, pipe, frames_dev, batch, iters, warmup)
     flops_per_frame, mfu = _mfu_estimate(jax, pipe, frames_dev, steady_fps,
                                          batch)
+    wd.beat()
 
     # ---- serving latency: single frame through the full fused step ----
     frames_1 = jax.device_put(jnp.asarray(frames[:1]))
@@ -150,6 +158,7 @@ def main():
                          PipelineConfig(det_capacity=4))
     cand_fps = _steady_fps(jax, pipe4, frames_dev, batch,
                            max(3, iters // 2), warmup)
+    wd.beat()
 
     # ---- feed-path diagnostics ----
     # h2d: fresh host buffers committed through a trivial executable
@@ -229,6 +238,7 @@ def main():
         # ---- honest e2e: disk -> decode -> H2D -> compute -> D2H ----
         # (the pipeline's own software-pipelined batch runner — the same
         # dispatch-ahead/fetch-behind path the eval CLIs use)
+        wd.beat()
         t0 = time.perf_counter()
         pipe.run_batches(PrefetchLoader(paths, batch))
         e2e_fps = len(paths) / (time.perf_counter() - t0)
