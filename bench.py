@@ -93,9 +93,19 @@ def _mfu_estimate(jax, pipe, frames_dev, steady_fps, batch):
 
 
 def main():
+    import atexit
+
     from betapose_tpu.core.compile_cache import enable_compile_cache
-    from betapose_tpu.core.watchdog import StallWatchdog
+    from betapose_tpu.core.watchdog import (StallWatchdog, claim_chip,
+                                            release_chip)
     enable_compile_cache()
+    # Claim measurement priority: cooperating training drivers (sweep /
+    # occl_multiobj retry loops) yield the chip while this file exists,
+    # so the bench never shares the device queue with a training run.
+    # atexit covers normal + sys.exit paths; a watchdog os._exit leaks
+    # the claim but CHIP_CLAIM_STALE_S expires it.
+    claim_chip(label="bench")
+    atexit.register(release_chip)
     # A wedged tunnel RPC would hang the bench forever (unkillable from
     # Python — see core/watchdog.py); bound each phase instead so the
     # driver gets a fast exit-3 it can retry.  Generous: one phase is at

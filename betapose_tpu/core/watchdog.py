@@ -36,6 +36,42 @@ import sys
 import threading
 import time
 
+#: One real chip, many long-running drivers.  A measurement process
+#: (bench.py) CLAIMS the chip by writing this file; cooperating training
+#: drivers (sweep / occl_multiobj, armed via `yield_to=`) notice the
+#: claim on their next watchdog tick and hard-exit — their weight caches
+#: and incremental --out_json rows make that loss-free, and the outer
+#: retry loop waits for the claim to clear before resuming.  Without
+#: this, a benchmark run that lands mid-training shares the device
+#: queue with training programs and records garbage latencies.
+CHIP_CLAIM_PATH = "/tmp/betapose_chip_claim"
+#: Claims older than this are treated as leaked (a crashed bench that
+#: never reached its finally:) and ignored.
+CHIP_CLAIM_STALE_S = 1800.0
+
+
+def claim_chip(label: str = "", path: str = CHIP_CLAIM_PATH) -> None:
+    """Claim measurement priority on the chip (see CHIP_CLAIM_PATH)."""
+    with open(path, "w") as f:
+        f.write(f"{os.getpid()} {label}\n")
+
+
+def release_chip(path: str = CHIP_CLAIM_PATH) -> None:
+    try:
+        os.unlink(path)
+    except OSError:
+        pass
+
+
+def chip_claimed(path: str = CHIP_CLAIM_PATH,
+                 stale_s: float = CHIP_CLAIM_STALE_S) -> bool:
+    """True iff a fresh (non-stale) chip claim exists."""
+    try:
+        age = time.time() - os.stat(path).st_mtime
+    except OSError:
+        return False
+    return age < stale_s
+
 
 class StallWatchdog:
     """Daemon-thread liveness monitor.
@@ -54,15 +90,24 @@ class StallWatchdog:
     CLI knob straight through.
 
     beat() is safe from any thread and costs one monotonic-clock read.
+
+    `yield_to` (a chip-claim path, normally CHIP_CLAIM_PATH) makes the
+    monitor also exit — with `yield_exit_code` (4) — as soon as a fresh
+    claim file appears, so a measurement process gets the chip to
+    itself.  Callers that arm it must be resumable (weight caches /
+    incremental output), exactly like the stall exit.
     """
 
     def __init__(self, timeout_s: float, label: str = "",
                  exit_code: int = 3, check_every: float = 5.0,
-                 exit_fn=None):
+                 exit_fn=None, yield_to: str | None = None,
+                 yield_exit_code: int = 4):
         self.timeout_s = float(timeout_s)
         self.label = label
         self.exit_code = exit_code
         self.check_every = float(check_every)
+        self.yield_to = yield_to
+        self.yield_exit_code = yield_exit_code
         self._exit_fn = exit_fn or (lambda code: os._exit(code))
         self._last = time.monotonic()
         self._stop = threading.Event()
@@ -97,6 +142,15 @@ class StallWatchdog:
 
     def _run(self) -> None:
         while not self._stop.wait(self.check_every):
+            if self.yield_to and chip_claimed(self.yield_to):
+                print(
+                    f"[stall-watchdog{':' + self.label if self.label else ''}]"
+                    f" chip claimed by a measurement run ({self.yield_to})"
+                    " — yielding. Rerun resumes from caches once the claim"
+                    " clears.",
+                    file=sys.stderr, flush=True)
+                self._exit_fn(self.yield_exit_code)
+                return  # only reached with an injected exit_fn (tests)
             gap = time.monotonic() - self._last
             if gap > self.timeout_s:
                 print(

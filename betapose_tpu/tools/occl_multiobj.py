@@ -391,8 +391,9 @@ def main(argv=None):
                         "rerun to resume from --params_dir caches.  "
                         "0 disables")
     args = p.parse_args(argv)
-    from betapose_tpu.core.watchdog import StallWatchdog
-    with StallWatchdog(args.stall_timeout, label="occl_multiobj") as wd:
+    from betapose_tpu.core.watchdog import CHIP_CLAIM_PATH, StallWatchdog
+    with StallWatchdog(args.stall_timeout, label="occl_multiobj",
+                       yield_to=CHIP_CLAIM_PATH) as wd:
         out = run_occl_multiobj(
             n_frames=args.frames, n_eval=args.eval_frames,
             yolo_iters=args.yolo_iters, kpd_iters=args.kpd_iters,

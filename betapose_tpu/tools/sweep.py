@@ -237,8 +237,16 @@ def run_sweep(object_names=None, n_frames=800,
               seed=0, z_range=(0.45, 0.65), params_dir=None,
               train_precision=None, left_keypoints=20, verbose=True,
               yolo_frames=None, pnp_score_power=0.0, pnp_spread_power=0.0,
-              pnp_depth_prior=0.0, det_capacity=1, beat=None):
+              pnp_depth_prior=0.0, det_capacity=1, beat=None,
+              out_json=None):
     """Returns {"per_object": [row...], "all_pass_085": bool}.
+
+    out_json: if set, the per-object table is (re)written to this file
+    after EVERY completed row with "partial": true until the sweep
+    finishes — a tunnel outage mid-run (the 13-object first run is
+    ~3.5 h) still leaves the completed rows on disk, and the rerun that
+    resumes from the --params_dir caches overwrites it with the full
+    table.
 
     beat: optional zero-arg liveness callback (core.watchdog) invoked
     after every training step / render / eval so a CLI-armed stall
@@ -389,6 +397,10 @@ def run_sweep(object_names=None, n_frames=800,
                               s["eval_bboxes"], obj)
         row["seq"] = s["class_id"] + 1
         rows.append(row)
+        if out_json:
+            json.dump(json_sanitize({"per_object": rows, "partial":
+                                     len(rows) < len(seqs)}),
+                      open(out_json, "w"), indent=1)
         if beat is not None:
             beat()
         if verbose:
@@ -474,8 +486,9 @@ def main(argv=None):
     args = p.parse_args(argv)
     names = (tuple(objects_mod.OBJECT_BUILDERS) if args.objects == "all"
              else tuple(args.objects.split(",")))
-    from betapose_tpu.core.watchdog import StallWatchdog
-    with StallWatchdog(args.stall_timeout, label="sweep") as wd:
+    from betapose_tpu.core.watchdog import CHIP_CLAIM_PATH, StallWatchdog
+    with StallWatchdog(args.stall_timeout, label="sweep",
+                       yield_to=CHIP_CLAIM_PATH) as wd:
         out = run_sweep(object_names=names,
                         n_frames=args.frames, n_eval=args.eval_frames,
                         yolo_iters=args.yolo_iters,
@@ -490,7 +503,8 @@ def main(argv=None):
                         pnp_score_power=args.pnp_score_power,
                         pnp_spread_power=args.pnp_spread_power,
                         pnp_depth_prior=args.pnp_depth_prior,
-                        beat=wd.beat if wd.enabled else None)
+                        beat=wd.beat if wd.enabled else None,
+                        out_json=args.out_json)
     if args.out_json:
         json.dump(json_sanitize(out), open(args.out_json, "w"), indent=1)
     return out

@@ -2,6 +2,8 @@
 symmetry canonicalization, annotation consistency, and a tiny end-to-end
 smoke of the sweep driver."""
 
+import json
+
 import numpy as np
 import pytest
 
@@ -387,12 +389,29 @@ def test_sweep_tiny_smoke(tmp_path):
     per-object KPD, per-seq rows, weight caching."""
     from betapose_tpu.tools.sweep import run_sweep
 
+    out_json = tmp_path / "sweep.json"
+    partials = []
+
+    def snoop():
+        # beat() fires right after each row's incremental dump — record
+        # what an outage at that instant would leave on disk
+        if out_json.exists():
+            partials.append(json.loads(out_json.read_text()))
+
     kw = dict(object_names=("cube", "prism", "lwedge"), n_frames=6,
               n_eval=2, yolo_iters=2, kpd_iters=2, kpd_finetune_iters=0,
               kpd_batch=4, yolo_batch=4, reso=96, inp_h=64, inp_w=32,
               n_kp=8, num_classes=3, left_keypoints=6, yolo_frames=4,
-              params_dir=str(tmp_path / "cache"), verbose=False)
+              params_dir=str(tmp_path / "cache"), verbose=False,
+              out_json=str(out_json), beat=snoop)
     out = run_sweep(**kw)
+    # incremental rows: the first post-row snapshot is a valid partial
+    # table with 1 row; the last has all 3 and partial=False
+    row_snaps = [p for p in partials if p.get("per_object")]
+    assert row_snaps[0]["partial"] is True
+    assert len(row_snaps[0]["per_object"]) == 1
+    assert row_snaps[-1]["partial"] is False
+    assert len(row_snaps[-1]["per_object"]) == 3
     rows = out["per_object"]
     assert [r["object"] for r in rows] == ["cube", "prism", "lwedge"]
     assert [r["symmetric"] for r in rows] == [False, True, False]

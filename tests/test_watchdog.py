@@ -8,7 +8,8 @@ tests pin the monitor mechanics with an injected exit_fn instead.
 import threading
 import time
 
-from betapose_tpu.core.watchdog import StallWatchdog
+from betapose_tpu.core.watchdog import (StallWatchdog, chip_claimed,
+                                        claim_chip, release_chip)
 
 
 class TestStallWatchdog:
@@ -46,6 +47,45 @@ class TestStallWatchdog:
             assert not wd.enabled
             assert wd._thread is None
             time.sleep(0.1)
+
+    def test_yields_to_chip_claim(self, tmp_path):
+        """A fresh chip-claim file makes the monitor exit with the yield
+        code even while beats keep arriving (training is healthy but a
+        measurement run has priority)."""
+        claim = str(tmp_path / "claim")
+        fired = threading.Event()
+        codes = []
+
+        def fake_exit(code):
+            codes.append(code)
+            fired.set()
+
+        wd = StallWatchdog(30.0, check_every=0.05, exit_fn=fake_exit,
+                           yield_to=claim)
+        with wd:
+            wd.beat()
+            time.sleep(0.2)
+            assert not fired.is_set()  # no claim yet
+            claim_chip(label="bench", path=claim)
+            assert fired.wait(2.0), "never yielded to the claim"
+            wd.beat()
+        assert codes == [4]
+
+    def test_chip_claim_lifecycle(self, tmp_path):
+        """claim/release roundtrip; stale claims (a bench that os._exit'd
+        without its atexit) are ignored."""
+        import os
+        claim = str(tmp_path / "claim")
+        assert not chip_claimed(claim)
+        claim_chip(label="bench", path=claim)
+        assert chip_claimed(claim)
+        # a stale mtime (leaked claim) no longer blocks training
+        old = time.time() - 3600
+        os.utime(claim, (old, old))
+        assert not chip_claimed(claim)
+        release_chip(claim)
+        assert not chip_claimed(claim)
+        release_chip(claim)  # idempotent
 
     def test_cli_knob_plumbed(self):
         """Both long-tier drivers expose --stall_timeout (default 900,
